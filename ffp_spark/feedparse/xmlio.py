@@ -1,0 +1,393 @@
+"""XML loading layer for the feed parser.
+
+Replaces lxml (not installable in this environment) with a custom
+``xml.etree.ElementTree.XMLParser`` target that gives us, in one pass:
+
+* the element tree (stdlib ``Element`` nodes),
+* a child->parent map (lxml's ``getparent()`` equivalent, needed by the
+  media-RSS extraction, reference ``main.py:1295-1321``),
+* per-element namespace-declaration scopes (needed to serialize
+  xhtml-typed Atom content the way ``lxml.etree.tostring`` does,
+  reference ``main.py:1225``),
+* a salvage mode that force-closes open elements at the first syntax
+  error, emulating ``lxml recover=True`` on truncated feeds
+  (reference ``main.py:527-533``; exercised by the ``osm-pl.xml``
+  fixture which is cut off mid-CDATA).
+
+Everything here is pure-Python + expat and runs inside the Arrow parse
+UDF on executors; no Spark imports.
+"""
+
+from __future__ import annotations
+
+import html.entities
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+
+class FeedXmlError(ValueError):
+    """Raised when bytes cannot be turned into a usable XML tree."""
+
+
+_UNDECLARED_URI_PREFIX = "urn:x-undeclared-ns:"
+
+# Well-known prefixes that expat resolves without an explicit xmlns.
+_BUILTIN_PREFIXES = {"xml", "xmlns"}
+
+
+class XmlDoc:
+    """Parsed XML document plus the side tables the extractor needs."""
+
+    __slots__ = ("root", "parents", "scopes", "undeclared", "recovered")
+
+    def __init__(
+        self,
+        root: ET.Element,
+        parents: dict[int, ET.Element],
+        scopes: dict[int, tuple[tuple[str, str], ...]],
+        undeclared: dict[str, str],
+        recovered: bool,
+    ) -> None:
+        self.root = root
+        self.parents = parents
+        self.scopes = scopes
+        # dummy-uri -> original prefix, for feeds whose prefixes were
+        # never declared (e.g. the malformed namespaced-RSS fixture)
+        self.undeclared = undeclared
+        self.recovered = recovered
+
+    def parent_of(self, elem: ET.Element) -> Optional[ET.Element]:
+        return self.parents.get(id(elem))
+
+    def scope_of(self, elem: ET.Element) -> tuple[tuple[str, str], ...]:
+        return self.scopes.get(id(elem), ())
+
+
+class _TreeTarget:
+    """XMLParser target building the tree + parent map + ns scopes.
+
+    ``finish(force=True)`` closes any still-open elements, which is what
+    keeps completed entries from a feed that was truncated mid-stream.
+    """
+
+    def __init__(self) -> None:
+        self.root: Optional[ET.Element] = None
+        self.parents: dict[int, ET.Element] = {}
+        self.scopes: dict[int, tuple[tuple[str, str], ...]] = {}
+        self._stack: list[ET.Element] = []
+        self._pending_ns: list[tuple[str, str]] = []
+        self._scope_stack: list[tuple[tuple[str, str], ...]] = [()]
+        self._text: list[str] = []
+        self._tail_owner: Optional[ET.Element] = None
+
+    # -- parser events -------------------------------------------------
+    def start_ns(self, prefix: str, uri: str) -> None:
+        self._pending_ns.append((prefix or "", uri))
+
+    def end_ns(self, prefix: str) -> None:
+        pass
+
+    def start(self, tag: str, attrs: dict[str, str]) -> None:
+        self._flush_text()
+        elem = ET.Element(tag, attrs)
+        if self._pending_ns:
+            scope = self._scope_stack[-1] + tuple(self._pending_ns)
+            self._pending_ns.clear()
+        else:
+            scope = self._scope_stack[-1]
+        self._scope_stack.append(scope)
+        self.scopes[id(elem)] = scope
+        if self._stack:
+            parent = self._stack[-1]
+            parent.append(elem)
+            self.parents[id(elem)] = parent
+        elif self.root is None:
+            self.root = elem
+        self._stack.append(elem)
+        self._tail_owner = None
+
+    def end(self, tag: str) -> None:
+        self._flush_text()
+        elem = self._stack.pop()
+        self._scope_stack.pop()
+        self._tail_owner = elem
+
+    def data(self, text: str) -> None:
+        self._text.append(text)
+
+    def close(self):  # called by ET on successful parse
+        self.finish(force=False)
+        return self.root
+
+    # -- helpers ---------------------------------------------------------
+    def _flush_text(self) -> None:
+        if not self._text:
+            return
+        chunk = "".join(self._text)
+        self._text.clear()
+        if self._tail_owner is not None:
+            self._tail_owner.tail = (self._tail_owner.tail or "") + chunk
+        elif self._stack:
+            cur = self._stack[-1]
+            cur.text = (cur.text or "") + chunk
+
+    def finish(self, force: bool) -> None:
+        if force:
+            # Drop character data accumulated since the last structural
+            # event: an unterminated trailing CDATA section is discarded,
+            # matching lxml-recover on truncated feeds (osm-pl fixture).
+            self._text.clear()
+            while self._stack:
+                self._tail_owner = self._stack.pop()
+        else:
+            self._flush_text()
+
+
+_RE_PREFIXED_TAG = re.compile(rb"<([A-Za-z_][\w.-]*):")
+_RE_XMLNS_DECL = re.compile(rb"xmlns:([A-Za-z_][\w.-]*)\s*=")
+_RE_ROOT_TAG = re.compile(rb"<([A-Za-z_][\w.:-]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>")
+_RE_LEADING_COMMENTS = re.compile(rb"^(?:\s|<!--.*?-->)+", re.DOTALL)
+_RE_DECL_ENCODING = re.compile(rb"<\?xml[^>]*encoding=[\"']([^\"']+)[\"']", re.IGNORECASE)
+_RE_UNDEF_ENTITY = re.compile(rb"&([A-Za-z][A-Za-z0-9.]*);")
+
+_XML_BUILTIN_ENTITIES = {b"amp", b"lt", b"gt", b"apos", b"quot"}
+
+
+def _parse_once(data: bytes, salvage: bool) -> XmlDoc:
+    target = _TreeTarget()
+    parser = ET.XMLParser(target=target)
+    err: Optional[Exception] = None
+    try:
+        parser.feed(data)
+        parser.close()
+    except ET.ParseError as exc:
+        if not salvage:
+            raise
+        err = exc
+        target.finish(force=True)
+    root = target.root
+    if root is None:
+        raise err or FeedXmlError("no root element")
+    return XmlDoc(root, target.parents, target.scopes, {}, recovered=err is not None)
+
+
+def _undeclared_prefixes(data: bytes) -> list[bytes]:
+    used = {m.group(1) for m in _RE_PREFIXED_TAG.finditer(data)}
+    declared = {m.group(1) for m in _RE_XMLNS_DECL.finditer(data)}
+    out = []
+    for p in sorted(used - declared):
+        if p.decode("ascii", "replace") not in _BUILTIN_PREFIXES:
+            out.append(p)
+    return out
+
+
+def _bind_undeclared_prefixes(data: bytes) -> tuple[bytes, dict[str, str]]:
+    """Inject dummy xmlns declarations for prefixes the feed never binds.
+
+    lxml's recover mode keeps such tags as literal ``rss:item`` names
+    (reference matches on them, ``main.py:677,707``); expat refuses to
+    parse them at all.  Binding them to a private URI and remembering the
+    mapping lets the extractor treat ``{urn:x-undeclared-ns:rss}item``
+    exactly like lxml's literal ``rss:item``.
+    """
+    missing = _undeclared_prefixes(data)
+    if not missing:
+        return data, {}
+    m = _RE_ROOT_TAG.search(data)
+    if m is None:
+        return data, {}
+    mapping: dict[str, str] = {}
+    decls = b""
+    for p in missing:
+        prefix = p.decode("ascii", "replace")
+        uri = _UNDECLARED_URI_PREFIX + prefix
+        mapping[uri] = prefix
+        decls += b' xmlns:' + p + b'="' + uri.encode("ascii") + b'"'
+    start, end = m.span(2)
+    fixed = data[:end] + decls + data[end:]
+    return fixed, mapping
+
+
+def _resolve_html_entities(data: bytes) -> bytes:
+    """Replace HTML named entities with numeric refs (lxml-recover-ish)."""
+
+    def sub(m: re.Match[bytes]) -> bytes:
+        name = m.group(1)
+        if name in _XML_BUILTIN_ENTITIES:
+            return m.group(0)
+        code = html.entities.html5.get(name.decode("ascii", "replace") + ";")
+        if code is None:
+            return b""
+        return "".join(f"&#{ord(ch)};" for ch in code).encode("ascii")
+
+    return _RE_UNDEF_ENTITY.sub(sub, data)
+
+
+def _transcode_to_utf8(data: bytes) -> Optional[bytes]:
+    """Re-encode a payload whose declared charset expat doesn't know."""
+    m = _RE_DECL_ENCODING.search(data[:2048])
+    if m is None:
+        return None
+    enc = m.group(1).decode("ascii", "replace")
+    try:
+        text = data.decode(enc, errors="replace")
+    except LookupError:
+        return None
+    # rewrite the declared encoding so expat trusts the utf-8 bytes
+    text = re.sub(
+        r"(<\?xml[^>]*encoding=[\"'])([^\"']+)([\"'])",
+        r"\g<1>utf-8\g<3>",
+        text,
+        count=1,
+        flags=re.IGNORECASE,
+    )
+    return text.encode("utf-8", errors="replace")
+
+
+def load_feed_xml(data: bytes) -> XmlDoc:
+    """Strict parse, then an escalating repair ladder (lxml-recover shim).
+
+    Ladder: strict expat -> bind undeclared prefixes -> transcode unknown
+    encodings -> resolve HTML entities -> salvage (force-close at the
+    error point, keeping completed elements).  Mirrors the *observable*
+    behavior of reference ``main.py:536-554`` on its fixture corpus.
+    """
+    try:
+        return _parse_once(data, salvage=False)
+    except ET.ParseError as first_err:
+        last_err: Exception = first_err
+
+    attempts: list[tuple[bytes, dict[str, str]]] = []
+    fixed, mapping = _bind_undeclared_prefixes(data)
+    if mapping:
+        attempts.append((fixed, mapping))
+    msg = str(last_err)
+    if "encoding" in msg:
+        transcoded = _transcode_to_utf8(data)
+        if transcoded is not None:
+            attempts.append((transcoded, {}))
+    if "undefined entity" in msg:
+        attempts.append((_resolve_html_entities(fixed if mapping else data), mapping))
+    # Junk before the real document (e.g. a comment fragment that itself
+    # contains "<?xml"): re-slice at each later start marker and retry.
+    window = data[:8192].lower()
+    for mark in (b"<?xml", b"<rss", b"<feed", b"<rdf"):
+        at = window.find(mark, 1)
+        while at != -1 and len(attempts) <= 16:
+            resliced, remap = _bind_undeclared_prefixes(data[at:])
+            attempts.append((resliced, remap))
+            at = window.find(mark, at + 1)
+
+    for payload, pmap in attempts:
+        try:
+            doc = _parse_once(payload, salvage=False)
+            doc.undeclared = pmap
+            return doc
+        except ET.ParseError as exc:
+            last_err = exc
+            continue
+
+    # salvage: keep whatever parsed before the error (truncated feeds)
+    for payload, pmap in [(fixed if mapping else data, mapping), *attempts]:
+        try:
+            doc = _parse_once(payload, salvage=True)
+        except (ET.ParseError, FeedXmlError):
+            continue
+        if len(doc.root) > 0 or doc.root.text:
+            doc.undeclared = pmap
+            return doc
+
+    preview = data[:500].decode("utf-8", errors="replace").strip()
+    if preview:
+        raise FeedXmlError(
+            "Failed to parse XML: received content that couldn't be parsed as XML "
+            f"(first 200 chars: {preview[:200]})"
+        )
+    raise FeedXmlError("Failed to parse XML: received empty content")
+
+
+# ---------------------------------------------------------------------------
+# lxml-compatible serialization of a subtree (for xhtml-typed Atom content)
+# ---------------------------------------------------------------------------
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("\n", "&#10;")
+        .replace("\t", "&#9;")
+    )
+
+
+def _qname(tag: str, ns_to_prefix: dict[str, str]) -> str:
+    if tag.startswith("{"):
+        uri, local = tag[1:].split("}", 1)
+        prefix = ns_to_prefix.get(uri)
+        if prefix:
+            return f"{prefix}:{local}"
+        if prefix == "":
+            return local
+        return local  # unmapped: emit bare local name
+    return tag
+
+
+def serialize_subtree(doc: XmlDoc, elem: ET.Element) -> str:
+    """Serialize ``elem`` the way ``lxml.etree.tostring(encoding='unicode')``
+    does: the top element re-declares every in-scope namespace binding in
+    original declaration order; descendants re-declare only their own.
+    Includes the element's tail, matching lxml (reference ``main.py:1225``).
+    """
+    top_scope = doc.scope_of(elem)
+    out: list[str] = []
+    _serialize(doc, elem, top_scope, emit_decls=top_scope, out=out)
+    if elem.tail:
+        out.append(_escape_text(elem.tail))
+    return "".join(out)
+
+
+def _serialize(
+    doc: XmlDoc,
+    elem: ET.Element,
+    scope: tuple[tuple[str, str], ...],
+    emit_decls: tuple[tuple[str, str], ...],
+    out: list[str],
+) -> None:
+    ns_to_prefix: dict[str, str] = {}
+    for prefix, uri in scope:
+        ns_to_prefix[uri] = prefix  # later (inner) decls win
+    ns_to_prefix["http://www.w3.org/XML/1998/namespace"] = "xml"
+
+    out.append("<" + _qname(elem.tag, ns_to_prefix))
+    seen: set[str] = set()
+    for prefix, uri in emit_decls:
+        key = prefix
+        if key in seen:
+            continue
+        seen.add(key)
+        if prefix:
+            out.append(f' xmlns:{prefix}="{_escape_attr(uri)}"')
+        else:
+            out.append(f' xmlns="{_escape_attr(uri)}"')
+    for name, value in elem.attrib.items():
+        out.append(f' {_qname(name, ns_to_prefix)}="{_escape_attr(value)}"')
+    children = list(elem)
+    if not children and not elem.text:
+        out.append("/>")
+    else:
+        out.append(">")
+        if elem.text:
+            out.append(_escape_text(elem.text))
+        for child in children:
+            child_scope = doc.scope_of(child)
+            own = child_scope[len(scope):] if child_scope[: len(scope)] == scope else child_scope
+            _serialize(doc, child, child_scope, emit_decls=own, out=out)
+            if child.tail:
+                out.append(_escape_text(child.tail))
+        out.append("</" + _qname(elem.tag, ns_to_prefix) + ">")
