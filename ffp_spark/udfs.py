@@ -1,0 +1,188 @@
+"""Vectorized parse stage (operator K1, SURVEY.md §2.B).
+
+``parse_pages`` maps the PAGES table through the pure-Python parser via
+``mapInPandas`` — Arrow-batched, one Python worker per core, no per-row
+Python UDFs (north-rule API requirement).  Catalyst sees a typed
+PARSED_SCHEMA output, so nested-schema pruning applies downstream.
+
+Reference parity: the parse itself is ffp_spark.feedparse (golden-tested
+against /root/reference/tests/integration); this module only adapts
+dicts to the frozen StructTypes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .schemas import PARSED_SCHEMA
+
+_FEED_SCALARS = (
+    "title", "link", "subtitle", "generator", "publisher", "author",
+    "id", "language", "updated", "comments", "icon", "favicon",
+)
+_ENTRY_SCALARS = (
+    "id", "title", "description", "link", "published", "updated",
+    "author", "comments", "image", "banner_image",
+)
+_LINK_KEYS = ("rel", "type", "href", "title")
+_TAG_KEYS = ("term", "scheme", "label")
+_DETAIL_KEYS = ("type", "language", "base", "value")
+_MEDIA_KEYS = (
+    "url", "type", "medium", "width", "height", "title", "text",
+    "description", "credit", "credit_scheme", "thumbnail_url",
+)
+
+
+def _keyed(rec: Optional[dict], keys: tuple[str, ...]) -> Optional[dict]:
+    if rec is None:
+        return None
+    return {k: rec.get(k) for k in keys}
+
+
+def _keyed_list(items: Optional[list], keys: tuple[str, ...]) -> Optional[list]:
+    if items is None:
+        return None
+    return [_keyed(it, keys) for it in items]
+
+
+def _shape_feed(feed: dict[str, Any]) -> dict[str, Any]:
+    out: dict[str, Any] = {k: feed.get(k) for k in _FEED_SCALARS}
+    out["title_detail"] = _keyed(feed.get("title_detail"), _DETAIL_KEYS)
+    out["subtitle_detail"] = _keyed(feed.get("subtitle_detail"), _DETAIL_KEYS)
+    out["generator_detail"] = _keyed(feed.get("generator_detail"), ("name", "version", "href"))
+    out["links"] = _keyed_list(feed.get("links"), _LINK_KEYS)
+    out["tags"] = _keyed_list(feed.get("tags"), _TAG_KEYS)
+    return out
+
+
+def _shape_entry(entry: dict[str, Any]) -> dict[str, Any]:
+    out: dict[str, Any] = {k: entry.get(k) for k in _ENTRY_SCALARS}
+    out["author_detail"] = _keyed(entry.get("author_detail"), ("name",))
+    out["links"] = _keyed_list(entry.get("links"), _LINK_KEYS)
+    out["tags"] = _keyed_list(entry.get("tags"), _TAG_KEYS)
+    out["content"] = _keyed_list(entry.get("content"), _DETAIL_KEYS)
+    enclosures = entry.get("enclosures")
+    if enclosures is not None:
+        shaped = []
+        for enc in enclosures:
+            length = enc.get("length")
+            shaped.append(
+                {
+                    "url": enc.get("url"),
+                    "type": enc.get("type"),
+                    "length": length if isinstance(length, int) else None,
+                }
+            )
+        out["enclosures"] = shaped
+    else:
+        out["enclosures"] = None
+    out["media_content"] = _keyed_list(entry.get("media_content"), _MEDIA_KEYS)
+    return out
+
+
+def _classify_error(exc: Exception) -> str:
+    msg = str(exc)
+    if "HTML" in msg:
+        return "html_page"
+    if "Empty content" in msg or "empty content" in msg:
+        return "empty"
+    if "OPML" in msg or "sitemap" in msg:
+        return "not_feed"
+    if "status message" in msg or "returned error" in msg:
+        return "server_error"
+    if "Unknown feed type" in msg or "Unknown Atom namespace" in msg:
+        return "unknown_type"
+    if "missing channel" in msg:
+        return "bad_structure"
+    if "parse XML" in msg or "parsed as XML" in msg:
+        return "xml_error"
+    return "other"
+
+
+def _detect_feed_type(parsed: dict[str, Any], payload: bytes) -> str:
+    head = payload.lstrip()[:64]
+    if head.startswith(b"{"):
+        return "json"
+    low = payload[:4096].lower()
+    if b"<feed" in low:
+        return "atom"
+    if b"<rdf" in low:
+        return "rdf"
+    return "rss"
+
+
+def parse_page_rows(
+    batches: Iterable[pd.DataFrame],
+    include_content: bool = True,
+    include_tags: bool = True,
+    include_media: bool = True,
+    include_enclosures: bool = True,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: PAGES batches -> PARSED_SCHEMA batches."""
+    from .feedparse import parse_feed  # import on executor
+
+    for pdf in batches:
+        rows: list[dict[str, Any]] = []
+        has_ts = "warc_ts" in pdf.columns
+        has_lang = "lang" in pdf.columns
+        for i in range(len(pdf)):
+            url = pdf["url"].iat[i]
+            payload = pdf["html"].iat[i]
+            rec: dict[str, Any] = {
+                "url": url,
+                "warc_ts": pdf["warc_ts"].iat[i] if has_ts else None,
+                "lang": pdf["lang"].iat[i] if has_lang else None,
+                "feed_type": None,
+                "feed": None,
+                "entries": None,
+                "error": None,
+                "error_class": None,
+            }
+            if payload is None:
+                rec["error"], rec["error_class"] = "null payload", "empty"
+                rows.append(rec)
+                continue
+            raw = bytes(payload)
+            try:
+                parsed = parse_feed(
+                    raw,
+                    include_content=include_content,
+                    include_tags=include_tags,
+                    include_media=include_media,
+                    include_enclosures=include_enclosures,
+                )
+                rec["feed"] = _shape_feed(parsed["feed"])
+                rec["entries"] = [_shape_entry(e) for e in parsed["entries"]]
+                rec["feed_type"] = _detect_feed_type(parsed, raw)
+            except Exception as exc:  # error row, never a task failure
+                rec["error"] = str(exc)[:500]
+                rec["error_class"] = _classify_error(exc)
+            rows.append(rec)
+        yield pd.DataFrame(rows)
+
+
+def parse_pages(
+    pages: DataFrame,
+    include_content: bool = True,
+    include_tags: bool = True,
+    include_media: bool = True,
+    include_enclosures: bool = True,
+) -> DataFrame:
+    """PAGES -> PARSED.  Column-prunes the scan to what the parse needs
+    (url/warc_ts/lang/html) before crossing into Python."""
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+
+    def runner(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return parse_page_rows(
+            batches,
+            include_content=include_content,
+            include_tags=include_tags,
+            include_media=include_media,
+            include_enclosures=include_enclosures,
+        )
+
+    return pages.select(*cols).mapInPandas(runner, schema=PARSED_SCHEMA)

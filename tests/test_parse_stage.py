@@ -1,0 +1,91 @@
+"""Spark parse stage + triple emission, gated on the golden fixtures.
+
+North metric check (BASELINE.json): triple P/R >= 0.95 vs the triple set
+mechanically derived from the reference's golden parse outputs.  On the
+fixture corpus our parser is byte-identical, so P/R must be exactly 1.0.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from ffp_spark.datagen import REFERENCE_FIXTURES, fixture_pages, synth_pages
+from ffp_spark.metrics import error_histogram, precision_recall
+from ffp_spark.triples import emit_triples, triples_from_golden_dicts
+from ffp_spark.udfs import parse_pages
+
+
+def _golden_dicts() -> dict[str, dict]:
+    out = {}
+    for f in sorted(REFERENCE_FIXTURES.glob("*.xml")):
+        out[f"https://fixtures.example/{f.name}"] = json.loads(
+            f.with_suffix(".json").read_text()
+        )
+    for f in sorted(REFERENCE_FIXTURES.glob("*.json")):
+        if f.name.endswith(".expected.json") or f.with_suffix(".xml").exists():
+            continue
+        out[f"https://fixtures.example/{f.name}"] = json.loads(
+            f.with_suffix(".expected.json").read_text()
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture_parsed(spark):
+    return parse_pages(fixture_pages(spark)).cache()
+
+
+def test_parse_stage_no_errors_on_fixtures(spark, fixture_parsed):
+    errs = fixture_parsed.filter("error is not null").collect()
+    assert errs == [], [(r.url, r.error) for r in errs]
+
+
+def test_entry_counts_match_goldens(spark, fixture_parsed):
+    goldens = _golden_dicts()
+    rows = fixture_parsed.selectExpr("url", "size(entries) as n").collect()
+    for r in rows:
+        assert r.n == len(goldens[r.url]["entries"]), r.url
+
+
+def test_triple_precision_recall_on_fixtures(spark, fixture_parsed):
+    goldens = _golden_dicts()
+    golden_triples = triples_from_golden_dicts(goldens)
+    golden_df = spark.createDataFrame(
+        golden_triples, schema="subj string, pred string, obj string, src_url string"
+    )
+    ours = emit_triples(fixture_parsed)
+    pr = precision_recall(ours, golden_df)
+    assert pr["precision"] == 1.0, pr
+    assert pr["recall"] == 1.0, pr
+
+
+def test_synth_pages_deterministic_and_parseable(spark):
+    pages = synth_pages(spark, 200, seed=42)
+    parsed = parse_pages(pages).cache()
+    total = parsed.count()
+    assert total == 200
+    # deliberate error rows are ~3%; everything else parses
+    errors = parsed.filter("error is not null").count()
+    assert errors <= 12, errors
+    hist = {r.error_class: r["count"] for r in error_histogram(parsed).collect()}
+    assert set(hist) <= {"html_page", "xml_error", "empty", "other"}, hist
+    # determinism: same seed -> same triple count
+    t1 = emit_triples(parsed).count()
+    t2 = emit_triples(parse_pages(synth_pages(spark, 200, seed=42))).count()
+    assert t1 == t2 and t1 > 0
+    parsed.unpersist()
+
+
+def test_synth_text_oracle_matches_extracted_content(spark):
+    """Per-row invariant on synthetic rows: pages.text equals the parse
+    stage's entries[0].content[0].value byte-for-byte."""
+    pages = synth_pages(spark, 120, seed=7)
+    parsed = parse_pages(pages)
+    joined = (
+        parsed.filter("error is null")
+        .selectExpr("url", "entries[0].content[0].value as extracted")
+        .join(pages.filter("text is not null and text <> ''").select("url", "text"), "url")
+    )
+    bad = joined.filter("extracted <> text").collect()
+    assert bad == [], bad[:3]
