@@ -1,38 +1,560 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship KG query on sf0.001 (documents -> feeds ->
+                    Arrow parse -> triples -> per-predicate counts).
+queries()         — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent SQL per query (tables region nation
+                    customer supplier part orders lineitem events
+                    documents embeddings are pre-registered views).
+
+Column names are aliased identically on both sides; double aggregates
+are rounded on both sides so the order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+_SQL_QUERIES: dict[str, str] = {}
+_ORACLE_ONLY: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# flagship: KG pipeline over doc-feeds
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse doc-feeds at sf0.001, emit triples, count by pred."""
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.triples import emit_triples
+    from ffp_spark.udfs import parse_pages
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    pages = documents_as_pages(docs)
+    triples = emit_triples(parse_pages(pages))
+    return triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
+def _q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.triples import emit_triples
+    from ffp_spark.udfs import parse_pages
+
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    triples = emit_triples(parse_pages(pages))
+    return triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
+_ORACLE_ONLY["kg_pred_counts"] = """
+SELECT p.pred AS pred, (SELECT count(*) FROM documents) AS n
+FROM (VALUES ('publishedAt'), ('author'), ('partOfFeed'), ('hasEntry')) p(pred)
+ORDER BY pred
+"""
+
+
+def _q_kg_author_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity cardinalities after canonicalization: 5 synthetic authors."""
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.linking import extract_mentions
+    from ffp_spark.udfs import parse_pages
+
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    mentions = extract_mentions(parse_pages(pages))
+    return (
+        mentions.filter(F.col("kind") == "author")
+        .groupBy(F.col("surface").alias("author"))
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("author")
+    )
+
+
+_ORACLE_ONLY["kg_author_cards"] = """
+WITH authors(idx, author) AS (
+  VALUES (0, 'Ada Author'), (1, 'Ben Writer'), (2, 'Cara Blogger'),
+         (3, 'Dan Poster'), (4, 'Eve Editor')
+)
+SELECT a.author AS author, count(*) AS n_mentions
+FROM documents d JOIN authors a ON (d.doc_id % 5) = a.idx
+GROUP BY a.author ORDER BY author
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY §2.A), SQL on both engines
+# ---------------------------------------------------------------------------
+
+_SQL_QUERIES["agg_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_SQL_QUERIES["coalesce_fields"] = """
+SELECT coalesce(nullif(o_orderstatus, 'O'), o_orderpriority) AS status_or_prio,
+       count(*) AS n
+FROM orders
+GROUP BY status_or_prio
+ORDER BY status_or_prio
+"""
+
+_SQL_QUERIES["explode_tokens"] = """
+SELECT tok, count(*) AS n
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+) t
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 50
+"""
+
+_SQL_QUERIES["try_cast_props"] = """
+SELECT try_cast(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       count(*) AS n
+FROM events
+GROUP BY k_mod
+ORDER BY k_mod
+"""
+
+_SQL_QUERIES["median_percentile"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2) AS p50,
+       round(quantile_cont(value, 0.95), 2) AS p95,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_SQL_QUERIES["count_if_threshold"] = """
+SELECT event_type,
+       count_if(value > 100.0) AS n_big,
+       count_if(value <= 100.0) AS n_small
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_SQL_QUERIES["mismatch_full_outer"] = """
+WITH clicks AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+views AS (
+  SELECT user_id, count(*) AS n_views FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, v.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_views, 0) AS n_views
+FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+WHERE coalesce(n_clicks, 0) <> coalesce(n_views, 0)
+ORDER BY user_id
+"""
+
+_SQL_QUERIES["top_orders"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+_SQL_QUERIES["hash_bucket_distribution"] = """
+SELECT substring(md5(text), 1, 1) AS bucket, count(*) AS n
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+_SQL_QUERIES["orders_by_month"] = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+_SQL_QUERIES["dim_join_rollup"] = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+_SQL_QUERIES["window_top_event"] = """
+SELECT event_type, count(*) AS n_users_top
+FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_SQL_QUERIES["rollup_status_prio"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+_SQL_QUERIES["set_ops_users"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+_SQL_QUERIES["semi_anti_join"] = """
+SELECT count(*) AS n_orders_no_lineitem
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+_SQL_QUERIES["dedup_exact"] = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+FROM documents
+"""
+
+_SQL_QUERIES["text_quality"] = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(length(text)), 2) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+       round(avg(CASE WHEN length(text) > 0
+                 THEN len(string_split(text, ' ')) * 1.0 / length(text)
+                 ELSE 0 END), 4) AS token_density
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_SQL_QUERIES["token_counts"] = """
+SELECT source,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+_SQL_QUERIES["doc_fingerprint"] = """
+SELECT substring(md5(lower(regexp_replace(substring(text, 1, 64), '\\s+', ' ', 'g'))), 1, 8)
+         AS fp, count(*) AS n
+FROM documents
+GROUP BY fp
+HAVING count(*) >= 1
+ORDER BY n DESC, fp
+LIMIT 30
+"""
+
+_SQL_QUERIES["lang_id_heuristic"] = """
+SELECT lang,
+       count_if(length(text) - length(replace(text, 'e', '')) > 5) AS n_e_heavy,
+       count(*) AS n
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_SQL_QUERIES["ngram_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, tok, pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS tok,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents WHERE doc_id < 100
+  )
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+ORDER BY jaccard DESC, a, b
+LIMIT 50
+"""
+
+_SQL_QUERIES["knn_bruteforce"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product((SELECT qv FROM q)::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]))),
+         4) AS cos_sim
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+_SQL_QUERIES["embedding_norms"] = """
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+def _sql_to_spark(name: str, sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        _t(
+            spark, sf_dir,
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+        return spark.sql(_sql)
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+# Spark-dialect rewrites where the engines' SQL differs.
+_SPARK_DIALECT: dict[str, str] = {
+    "explode_tokens": """
+SELECT tok, count(*) AS n
+FROM (SELECT explode(split(lower(text), ' ')) AS tok FROM documents) t
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 50
+""",
+    "try_cast_props": """
+SELECT try_cast(get_json_object(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n
+FROM events
+GROUP BY k_mod
+ORDER BY k_mod
+""",
+    "median_percentile": """
+SELECT event_type,
+       round(percentile(value, 0.5), 2) AS p50,
+       round(percentile(value, 0.95), 2) AS p95,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "text_quality": """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(length(text)), 2) AS avg_chars,
+       round(avg(size(split(text, ' '))), 2) AS avg_tokens,
+       round(avg(CASE WHEN length(text) > 0
+                 THEN size(split(text, ' ')) * 1.0 / length(text)
+                 ELSE 0 END), 4) AS token_density
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    "token_counts": """
+SELECT source,
+       sum(size(split(text, ' '))) AS total_tokens,
+       max(size(split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    "doc_fingerprint": """
+SELECT substring(md5(lower(regexp_replace(substring(text, 1, 64), '\\\\s+', ' '))), 1, 8)
+         AS fp, count(*) AS n
+FROM documents
+GROUP BY fp
+HAVING count(*) >= 1
+ORDER BY n DESC, fp
+LIMIT 30
+""",
+    "ngram_jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id, tok, pos
+  FROM (
+    SELECT doc_id, posexplode(split(lower(text), ' ')) AS (pos0, tok)
+    FROM documents WHERE doc_id < 100
+  ) raw
+  LATERAL VIEW OUTER explode(array(pos0 + 1)) p AS pos
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS gram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+ORDER BY jaccard DESC, a, b
+LIMIT 50
+""",
+    "knn_bruteforce": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         aggregate(zip_with(cast(embedding AS array<double>),
+                            cast((SELECT qv FROM q) AS array<double>),
+                            (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
+         / (sqrt(aggregate(zip_with(cast(embedding AS array<double>),
+                                    cast(embedding AS array<double>),
+                                    (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))
+            * sqrt(aggregate(zip_with(cast((SELECT qv FROM q) AS array<double>),
+                                      cast((SELECT qv FROM q) AS array<double>),
+                                      (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))),
+         4) AS cos_sim
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    "embedding_norms": """
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(aggregate(zip_with(cast(embedding AS array<double>),
+                                         cast(embedding AS array<double>),
+                                         (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))), 4)
+         AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    "semi_anti_join": """
+SELECT count(*) AS n_orders_no_lineitem
+FROM orders LEFT ANTI JOIN lineitem ON o_orderkey = l_orderkey
+""",
+    "rollup_status_prio": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+}
+
+
+def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over documents (rows-only check —
+    signature hashing isn't SQL-expressible in DuckDB)."""
+    from ffp_spark.linking import candidate_pairs, with_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("mention_id"),
+        F.lower(F.col("text")).alias("norm"),
+    )
+    return candidate_pairs(with_signatures(m), min_jaccard=0.3).select(
+        "a", "b", F.round("score", 4).alias("score")
+    ).orderBy(F.desc("score"), "a", "b")
+
+
+def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash bucketing via xxhash64 of tokens (rows-only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter("tok <> ''")
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        F.xxhash64("tok").alias("h"),
+    ).withColumn("bitval", F.when(F.shiftright("h", F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+    sim = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("bitval").alias("s"))
+        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("b") * F.shiftleft(F.lit(1), F.col("bit"))).alias("simhash"))
+    )
+    return sim.groupBy("simhash").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "simhash").limit(50)
+
+
+def _q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for similarity search: random-hyperplane LSH buckets,
+    then exact cosine only within the query's bucket (rows-only)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = np.random.RandomState(7)
+    planes = rng.randn(8, 64).tolist()
+    planes_col = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in planes])
+    withb = emb.withColumn(
+        "bucket",
+        F.aggregate(
+            F.transform(
+                planes_col,
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(F.col("embedding").cast("array<double>"), p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+    return withb.groupBy("bucket").agg(F.count("*").alias("n")).orderBy("bucket")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in _SQL_QUERIES.items():
+        out[name] = _sql_to_spark(name, _SPARK_DIALECT.get(name, sql))
+    out["kg_pred_counts"] = _q_kg_pred_counts
+    out["kg_author_cards"] = _q_kg_author_cards
+    out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates
+    out["simhash_buckets"] = _q_simhash_buckets
+    out["ann_lsh_bucketed"] = _q_ann_lsh_bucketed
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_SQL_QUERIES)
+    out.update(_ORACLE_ONLY)
+    return out

@@ -44,16 +44,24 @@ HOT_DOMAINS = (
     "big.example.dev",
 )
 
-# canonical author -> surface variants (entity-linking oracle)
+# canonical author -> surface variants that char-3-gram MinHash SHOULD
+# link (case/punct/affix variants; the linking oracle asserts these unify)
 AUTHOR_CLUSTERS: dict[str, tuple[str, ...]] = {
-    "david-bau": ("David Bau", "David B.", "david bau", "D. Bau"),
-    "jane-doe": ("Jane Doe", "jane doe", "Jane D.", "J. Doe"),
-    "wei-chen": ("Wei Chen", "wei chen", "W. Chen"),
-    "maria-garcia": ("Maria Garcia", "maría garcía", "M. Garcia"),
-    "alex-kim": ("Alex Kim", "alex kim", "A. Kim"),
-    "sam-patel": ("Sam Patel", "sam patel", "S. Patel"),
-    "li-wang": ("Li Wang", "li wang", "L. Wang"),
-    "emma-brown": ("Emma Brown", "emma brown", "E. Brown"),
+    "david-bau": ("David Bau", "david bau", "Dr. David Bau", "David  Bau Jr"),
+    "jane-doe": ("Jane Doe", "jane doe", "Ms Jane Doe", "Jane Doe PhD"),
+    "wei-chen": ("Wei Chen", "wei chen", "Prof Wei Chen"),
+    "maria-garcia": ("Maria Garcia", "maria garcia", "Maria Garcia-Lopez"),
+    "alex-kim": ("Alex Kim", "alex kim", "Alex Kim (staff)"),
+    "sam-patel": ("Sam Patel", "sam patel", "Sam Patel, Editor"),
+    "li-wang": ("Li Wang", "li wang", "Li Wang 王"),
+    "emma-brown": ("Emma Brown", "emma brown", "emma browne"),
+}
+# realistic hard variants (initials): present in the corpus, NOT expected
+# to link by character shingles — kept out of the unification assertion
+AUTHOR_HARD_VARIANTS: dict[str, tuple[str, ...]] = {
+    "david-bau": ("D. Bau",),
+    "jane-doe": ("J. Doe",),
+    "wei-chen": ("W. Chen",),
 }
 _AUTHOR_KEYS = tuple(AUTHOR_CLUSTERS)
 
@@ -96,7 +104,7 @@ def _entry_date(seed: int, i: int, k: int) -> tuple[str, str]:
 
 def _author(seed: int, i: int, k: int) -> str:
     cluster = _AUTHOR_KEYS[_h(seed, i, f"ak{k}") % len(_AUTHOR_KEYS)]
-    variants = AUTHOR_CLUSTERS[cluster]
+    variants = AUTHOR_CLUSTERS[cluster] + AUTHOR_HARD_VARIANTS.get(cluster, ())
     return variants[_h(seed, i, f"av{k}") % len(variants)]
 
 

@@ -1,0 +1,191 @@
+"""Entity linking (operators K3-K6): mention extraction, MinHash
+signatures, LSH banding/blocking, candidate scoring, salted broadcast
+joins for hot keys.
+
+Spark-first split of work:
+* MinHash signatures: vectorized numpy inside ONE pandas UDF (the only
+  Python hop) with fixed-seed permutations broadcast as constants —
+  deterministic across workers and runs.
+* banding, bucketing, candidate self-join, Jaccard estimation, scoring:
+  pure JVM expressions (posexplode/hash/zip_with/aggregate) — no Python
+  in the shuffle-heavy path.
+
+At 100 TB the candidate join is the hot spot: banding bounds each block,
+``spark.sql.adaptive.skewJoin`` splits stragglers, and `salted_broadcast_join`
+covers the hot-small-dim pattern (K5) explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .triples import exploded_entries
+
+MINHASH_K = 64  # permutations
+LSH_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5
+_MERSENNE_P = (1 << 61) - 1
+_SHINGLE_W = 3
+
+
+def _permutations(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE_P, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_udf(k: int = MINHASH_K, seed: int = 42, width: int = _SHINGLE_W):
+    """Series[str] -> Series[array<long>] MinHash signatures.
+
+    Char-``width`` shingles hashed with crc32 (stable across processes,
+    unlike builtin hash()), then k affine permutations mod a Mersenne
+    prime, vectorized with numpy broadcasting per input string.
+    """
+    a, b = _permutations(k, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(col: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for s in col:
+            if s is None or len(s) < width:
+                out.append(None)
+                continue
+            shingles = {s[i : i + width] for i in range(len(s) - width + 1)}
+            h = np.fromiter(
+                (zlib.crc32(sh.encode("utf-8")) for sh in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            # (k, n) affine transforms; min over shingles per permutation
+            sig = ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE_P).min(axis=1)
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sig
+
+
+def extract_mentions(parsed: DataFrame) -> DataFrame:
+    """Author + site mentions from PARSED (north_star: author/site
+    canonicalization).  mention_id is a deterministic content hash."""
+    entries = exploded_entries(parsed)
+    authors = entries.filter(F.col("entry.author").isNotNull()).select(
+        F.col("entry.author").alias("surface"),
+        F.lit("author").alias("kind"),
+        F.col("url").alias("src_url"),
+        F.col("entry.id").alias("subject_id"),
+    )
+    sites = (
+        parsed.filter(F.col("error").isNull() & F.col("feed.title").isNotNull())
+        .select(
+            F.col("feed.title").alias("surface"),
+            F.lit("site").alias("kind"),
+            F.col("url").alias("src_url"),
+            F.coalesce(F.col("feed.id"), F.col("feed.link")).alias("subject_id"),
+        )
+    )
+    mentions = authors.unionByName(sites)
+    return mentions.withColumn(
+        "mention_id",
+        F.sha2(F.concat_ws("", "kind", "surface", "src_url", "subject_id"), 256),
+    ).withColumn(
+        "norm",
+        F.trim(F.regexp_replace(F.lower(F.col("surface")), r"[^\p{L}\p{Nd}]+", " ")),
+    )
+
+
+def with_signatures(mentions: DataFrame, k: int = MINHASH_K, seed: int = 42) -> DataFrame:
+    sig = minhash_udf(k=k, seed=seed)
+    return mentions.withColumn("sig", sig(F.col("norm")))
+
+
+def candidate_pairs(
+    signed: DataFrame,
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding -> block self-join -> signature-estimated Jaccard.
+
+    Returns (a, b, norm_a, norm_b, score) with a < b.  All JVM-side:
+    band hashes via slice+hash, similarity via zip_with/aggregate.
+    """
+    rows_per_band = k // bands
+    banded = signed.filter(F.col("sig").isNotNull()).select(
+        "mention_id",
+        "norm",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    # dedupe identical (norm, band) up front: identical surfaces pair trivially
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.mention_id") < F.col("r.mention_id"),
+            ],
+        )
+        .select(
+            F.col("l.mention_id").alias("a"),
+            F.col("r.mention_id").alias("b"),
+            F.col("l.norm").alias("norm_a"),
+            F.col("r.norm").alias("norm_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    scored = pairs.withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(k),
+    ).drop("sig_a", "sig_b")
+    return scored.filter(F.col("score") >= min_jaccard)
+
+
+def best_candidate(scored: DataFrame) -> DataFrame:
+    """K6: per-mention best match — groupBy + max_by, map-side combined."""
+    return scored.groupBy("a").agg(
+        F.max_by("b", "score").alias("best_match"),
+        F.max("score").alias("best_score"),
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """K5: explicit hot-key salting beyond AQE.  The small side is
+    replicated n_salts times (explode of a salt sequence) and broadcast;
+    the big side picks a deterministic salt from xxhash64(key), spreading
+    one hot key across n_salts parallel probe streams."""
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).cast("int")
+    )
+    joined = salted_big.join(F.broadcast(salted_small), on=[key, "_salt"], how=how)
+    return joined.drop("_salt")

@@ -1,0 +1,252 @@
+"""End-to-end KG-construction pipeline (north_rule):
+
+    pages -> [explicit url-hash partitioning] -> parse (Arrow UDF)
+          -> triples -> entity linking (MinHash-LSH) -> connected
+          components -> canonicalized nodes/edges -> snapshot commit
+          with per-partition lineage.
+
+Scale design notes (100 TB / 1000 executors):
+* partitioning is an explicit, *deterministic* function of url
+  (pmod(xxhash64(url), n_parts)) — the same page always lands in the
+  same part_id, which is what makes lineage-based resume (K9) sound;
+* the parse stage is the only Python hop; everything after is JVM
+  DataFrame ops (AQE handles skew-join splitting; hot-domain dimension
+  joins go through linking.salted_broadcast_join);
+* per-stage caching is limited to the parsed DF which is consumed by
+  both the triple and linking branches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .cc import connected_components
+from .linking import candidate_pairs, extract_mentions, with_signatures
+from .metrics import error_histogram
+from .schemas import PRED_AUTHOR
+from .snapshots import (
+    read_snapshot,
+    remaining_pages,
+    snapshots_of,
+    write_snapshot,
+)
+from .triples import emit_triples
+from .udfs import parse_pages
+
+DEFAULT_PARTS = 64
+
+
+def add_part_id(pages: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Deterministic url-hash partition id (K11)."""
+    return pages.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+
+
+def build_session(app: str, master: Optional[str] = None, shuffle_partitions: int = 64) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Mentions -> (norm, canonical norm) mapping via LSH + CC.
+
+    Clustering runs over *distinct normalized surfaces* (far smaller than
+    the mention set: the groupBy is the dedup), then mentions re-join the
+    mapping; canonical id = lexicographic min surface in the component."""
+    mentions = extract_mentions(parsed)
+    distinct_surfaces = mentions.select("norm").where(
+        F.col("norm").isNotNull() & (F.col("norm") != "")
+    ).distinct().withColumn("mention_id", F.col("norm"))
+    signed = with_signatures(distinct_surfaces)
+    scored = candidate_pairs(signed, min_jaccard=min_jaccard)
+    edges = scored.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+    components = connected_components(edges)
+    mapping = distinct_surfaces.select("norm").join(
+        components.withColumnRenamed("node_id", "norm"), "norm", "left"
+    )
+    return mapping.withColumn(
+        "canonical_norm", F.coalesce("component_id", "norm")
+    ).select("norm", "canonical_norm")
+
+
+def materialize_graph(
+    parsed: DataFrame, canon: DataFrame, snapshot_id: int, n_parts: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(triples, nodes, edges) with canonicalized author entities."""
+    triples = (
+        emit_triples(parsed)
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("part_id", F.pmod(F.xxhash64("src_url"), F.lit(n_parts)).cast("int"))
+    )
+
+    mentions = extract_mentions(parsed)
+    author_mentions = mentions.filter(F.col("kind") == "author").join(
+        canon, "norm", "left"
+    )
+    author_nodes = (
+        author_mentions.groupBy(
+            F.coalesce("canonical_norm", "norm").alias("canonical_norm")
+        )
+        .agg(F.min("surface").alias("label"))
+        .select(
+            F.concat(F.lit("author:"), "canonical_norm").alias("node_id"),
+            F.lit("author").alias("kind"),
+            F.concat(F.lit("author:"), "canonical_norm").alias("canonical_id"),
+            F.col("label"),
+        )
+    )
+    entry_nodes = (
+        parsed.filter(F.col("error").isNull())
+        .select(F.explode("entries").alias("e"))
+        .select(
+            F.col("e.id").alias("node_id"),
+            F.lit("item").alias("kind"),
+            F.col("e.id").alias("canonical_id"),
+            F.col("e.title").alias("label"),
+        )
+        .where(F.col("node_id").isNotNull())
+        .dropDuplicates(["node_id"])
+    )
+    feed_nodes = (
+        parsed.filter(F.col("error").isNull())
+        .select(
+            F.coalesce(F.col("feed.id"), F.col("feed.link")).alias("node_id"),
+            F.lit("feed").alias("kind"),
+            F.coalesce(F.col("feed.id"), F.col("feed.link")).alias("canonical_id"),
+            F.col("feed.title").alias("label"),
+        )
+        .where(F.col("node_id").isNotNull())
+        .dropDuplicates(["node_id"])
+    )
+    nodes = author_nodes.unionByName(entry_nodes).unionByName(feed_nodes)
+
+    # structural edges from non-author triples; author edges re-pointed at
+    # the canonical author node
+    structural = triples.filter(F.col("pred") != PRED_AUTHOR).select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        "pred",
+        F.lit(1.0).alias("weight"),
+    )
+    author_edges = (
+        author_mentions.select(
+            F.col("subject_id").alias("src"),
+            F.concat(F.lit("author:"), F.coalesce("canonical_norm", "norm")).alias("dst"),
+            F.lit(PRED_AUTHOR).alias("pred"),
+            F.lit(1.0).alias("weight"),
+        )
+        .where(F.col("src").isNotNull())
+        .dropDuplicates(["src", "dst", "pred"])
+    )
+    edges = structural.unionByName(author_edges)
+    return triples, nodes, edges
+
+
+def run_snapshot(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    snapshot_id: int,
+    n_parts: int = DEFAULT_PARTS,
+    resume: bool = True,
+    n_buckets: int = 16,
+) -> dict[str, Any]:
+    """Process one snapshot of the PAGES table into committed KG tables.
+
+    Resumable: if a lineage table exists for this snapshot_id, partitions
+    marked done are anti-joined away before any work happens."""
+    pages = add_part_id(pages, n_parts)
+
+    prior_lineage: Optional[DataFrame] = None
+    if resume and snapshots_of(out_root, "lineage"):
+        all_lineage = read_snapshot(spark, out_root, "lineage")
+        prior_lineage = all_lineage.filter(F.col("snapshot_id") == snapshot_id)
+    todo = remaining_pages(pages, prior_lineage)
+
+    # explicit url-hash partitioning before the Python stage (K11)
+    todo = todo.repartition(n_parts, "part_id")
+    parsed = parse_pages(todo).withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+    parsed.cache()
+
+    canon = link_and_canonicalize(parsed)
+    triples, nodes, edges = materialize_graph(parsed, canon, snapshot_id, n_parts)
+
+    lineage = (
+        parsed.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count(F.when(F.col("error").isNull(), 1)).alias("n_parsed"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"),
+            F.sum(F.coalesce(F.size("entries"), F.lit(0))).alias("n_entries"),
+        )
+        .join(
+            triples.groupBy("part_id").agg(F.count("*").alias("n_triples")),
+            "part_id",
+            "left",
+        )
+        .withColumn("n_triples", F.coalesce("n_triples", F.lit(0)))
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("status", F.lit("done"))
+    )
+    if prior_lineage is not None:
+        lineage = lineage.unionByName(prior_lineage.select(*lineage.columns))
+
+    bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
+
+    stats = {
+        "n_pages": todo.count(),
+        "errors": {r.error_class: r["count"] for r in error_histogram(parsed).collect()},
+    }
+
+    # resume merge: a re-commit of the same snapshot keeps work already
+    # done by the interrupted run (its partitions were anti-joined away
+    # above, so their rows exist only in the prior committed tables)
+    if prior_lineage is not None and snapshot_id in snapshots_of(out_root, "triples"):
+        prev_triples = read_snapshot(spark, out_root, "triples", snapshot_id)
+        triples = triples.unionByName(prev_triples.select(*triples.columns))
+        prev_nodes = read_snapshot(spark, out_root, "nodes", snapshot_id).drop("bucket")
+        nodes = nodes.unionByName(prev_nodes.select(*nodes.columns)).dropDuplicates(
+            ["node_id"]
+        )
+        prev_edges = read_snapshot(spark, out_root, "edges", snapshot_id).drop("bucket")
+        edges = edges.unionByName(prev_edges.select(*edges.columns)).dropDuplicates(
+            ["src", "dst", "pred"]
+        )
+        bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
+
+    nodes_b = nodes.withColumn("bucket", bucket)
+    edges_b = edges.withColumn(
+        "bucket", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int")
+    )
+
+    m_triples = write_snapshot(
+        triples, out_root, "triples", snapshot_id, partition_by=["part_id"]
+    )
+    m_nodes = write_snapshot(nodes_b, out_root, "nodes", snapshot_id, partition_by=["bucket"])
+    m_edges = write_snapshot(edges_b, out_root, "edges", snapshot_id, partition_by=["bucket"])
+    m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
+    parsed.unpersist()
+    return {
+        "snapshot_id": snapshot_id,
+        "pages": stats["n_pages"],
+        "triples": m_triples["row_count"],
+        "nodes": m_nodes["row_count"],
+        "edges": m_edges["row_count"],
+        "lineage_rows": m_lineage["row_count"],
+        "errors": stats["errors"],
+    }

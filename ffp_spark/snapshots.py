@@ -1,0 +1,134 @@
+"""Snapshot/manifest layer emulating Iceberg semantics (operators K8-K9).
+
+No Iceberg runtime jar ships in this sandbox, so tables are partitioned
+Parquet directories plus a JSON manifest per snapshot and an atomically
+swapped CURRENT pointer:
+
+    <table>/
+      snap-<id>/...parquet          (data, written to a temp dir first)
+      manifest-<id>.json            (snapshot id, parent, row count, stats)
+      CURRENT                       (text file naming the live snapshot)
+
+Commit protocol: write data under ``_tmp-<id>``, fsync manifest, then
+``os.replace`` both into place — readers never observe a half-written
+snapshot (same guarantee Iceberg gets from its metadata swap).
+
+Resume (K9): per-partition lineage rows record which explicit url-hash
+partitions finished; `remaining_pages` anti-joins them away so a
+restarted run only processes unfinished partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _table_dir(root: str | Path, name: str) -> Path:
+    return Path(root) / name
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str | Path,
+    table: str,
+    snapshot_id: int,
+    partition_by: Optional[list[str]] = None,
+    extra: Optional[dict[str, Any]] = None,
+) -> dict[str, Any]:
+    """Atomically commit ``df`` as snapshot ``snapshot_id`` of ``table``."""
+    tdir = _table_dir(root, table)
+    tdir.mkdir(parents=True, exist_ok=True)
+    tmp = tdir / f"_tmp-{snapshot_id}"
+    final = tdir / f"snap-{snapshot_id}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
+
+    # explicit schema: an all-empty write leaves no files to infer from
+    n_rows = df.sparkSession.read.schema(df.schema).parquet(str(tmp)).count()
+    manifest = {
+        "table": table,
+        "snapshot_id": snapshot_id,
+        "parent_snapshot_id": current_snapshot_id(root, table),
+        "row_count": n_rows,
+        "partition_by": partition_by or [],
+        "schema": df.schema.jsonValue(),
+    }
+    if extra:
+        manifest["extra"] = extra
+
+    if final.exists():
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+
+    mpath = tdir / f"manifest-{snapshot_id}.json"
+    mtmp = tdir / f"_manifest-{snapshot_id}.json.tmp"
+    mtmp.write_text(json.dumps(manifest, indent=2))
+    os.replace(mtmp, mpath)
+
+    ctmp = tdir / "_CURRENT.tmp"
+    ctmp.write_text(str(snapshot_id))
+    os.replace(ctmp, tdir / "CURRENT")
+    return manifest
+
+
+def current_snapshot_id(root: str | Path, table: str) -> Optional[int]:
+    cur = _table_dir(root, table) / "CURRENT"
+    if not cur.exists():
+        return None
+    try:
+        return int(cur.read_text().strip())
+    except ValueError:
+        return None
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str | Path,
+    table: str,
+    snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root, table)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot for table {table} under {root}")
+    return spark.read.parquet(str(_table_dir(root, table) / f"snap-{sid}"))
+
+
+def read_manifest(root: str | Path, table: str, snapshot_id: int) -> dict[str, Any]:
+    return json.loads((_table_dir(root, table) / f"manifest-{snapshot_id}.json").read_text())
+
+
+def snapshots_of(root: str | Path, table: str) -> list[int]:
+    tdir = _table_dir(root, table)
+    if not tdir.exists():
+        return []
+    ids = []
+    for p in tdir.glob("manifest-*.json"):
+        try:
+            ids.append(int(p.stem.split("-", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(ids)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint/resume over explicit url-hash partitions
+# ---------------------------------------------------------------------------
+
+def remaining_pages(
+    pages_with_part: DataFrame, lineage: Optional[DataFrame]
+) -> DataFrame:
+    """Anti-join away partitions whose lineage row says status=done."""
+    if lineage is None:
+        return pages_with_part
+    done = lineage.filter(F.col("status") == "done").select("part_id").distinct()
+    return pages_with_part.join(done, "part_id", "left_anti")

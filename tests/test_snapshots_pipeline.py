@@ -1,0 +1,92 @@
+"""Snapshot commit/read/resume semantics + end-to-end pipeline run."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffp_spark.datagen import synth_pages
+from ffp_spark.pipeline import add_part_id, run_snapshot
+from ffp_spark.snapshots import (
+    current_snapshot_id,
+    read_manifest,
+    read_snapshot,
+    remaining_pages,
+    snapshots_of,
+    write_snapshot,
+)
+
+
+class TestSnapshots:
+    def test_commit_read_roundtrip(self, spark, tmp_path):
+        df = spark.range(100).withColumn("k", F.col("id") % 7)
+        m = write_snapshot(df, tmp_path, "t", snapshot_id=1)
+        assert m["row_count"] == 100
+        back = read_snapshot(spark, tmp_path, "t")
+        assert back.count() == 100
+        assert current_snapshot_id(tmp_path, "t") == 1
+
+    def test_snapshot_evolution_and_time_travel(self, spark, tmp_path):
+        write_snapshot(spark.range(10), tmp_path, "t", snapshot_id=1)
+        write_snapshot(spark.range(25), tmp_path, "t", snapshot_id=2)
+        assert snapshots_of(tmp_path, "t") == [1, 2]
+        assert read_snapshot(spark, tmp_path, "t").count() == 25
+        assert read_snapshot(spark, tmp_path, "t", snapshot_id=1).count() == 10
+        m2 = read_manifest(tmp_path, "t", 2)
+        assert m2["parent_snapshot_id"] == 1
+
+    def test_no_partial_snapshot_visible(self, spark, tmp_path):
+        # CURRENT pointer only moves after data+manifest are in place
+        write_snapshot(spark.range(5), tmp_path, "t", snapshot_id=7)
+        tdir = tmp_path / "t"
+        assert not list(tdir.glob("_tmp-*"))
+        assert (tdir / "CURRENT").read_text().strip() == "7"
+
+    def test_remaining_pages_anti_join(self, spark):
+        pages = add_part_id(synth_pages(spark, 100), n_parts=8)
+        lineage = spark.createDataFrame(
+            [(0, "done"), (1, "done"), (2, "failed")], "part_id int, status string"
+        )
+        left = remaining_pages(pages, lineage)
+        parts = {r.part_id for r in left.select("part_id").distinct().collect()}
+        assert 0 not in parts and 1 not in parts and 2 in parts
+
+
+class TestPipeline:
+    def test_run_snapshot_end_to_end(self, spark, tmp_path):
+        pages = synth_pages(spark, 120, seed=3)
+        report = run_snapshot(spark, pages, str(tmp_path), snapshot_id=1, n_parts=8)
+        assert report["pages"] == 120
+        assert report["triples"] > 0
+        assert report["nodes"] > 0
+        assert report["edges"] > 0
+        triples = read_snapshot(spark, tmp_path, "triples")
+        preds = {r.pred for r in triples.select("pred").distinct().collect()}
+        assert preds == {"publishedAt", "author", "partOfFeed", "hasEntry"}
+        lineage = read_snapshot(spark, tmp_path, "lineage")
+        assert lineage.filter("status = 'done'").count() == report["lineage_rows"]
+        # lineage totals reconcile with the page count
+        assert (
+            lineage.agg(F.sum("n_pages").alias("s")).collect()[0].s == 120
+        )
+
+    def test_resume_skips_done_partitions_and_converges(self, spark, tmp_path):
+        pages = synth_pages(spark, 120, seed=3)
+        full = run_snapshot(spark, pages, str(tmp_path), snapshot_id=1, n_parts=8)
+        # a second run with the same snapshot_id finds all parts done
+        again = run_snapshot(spark, pages, str(tmp_path), snapshot_id=1, n_parts=8)
+        assert again["pages"] == 0
+        # lineage still carries the full history
+        lineage = read_snapshot(spark, tmp_path, "lineage")
+        assert (
+            lineage.agg(F.sum("n_pages").alias("s")).collect()[0].s
+            == full["pages"]
+        )
+
+    def test_deterministic_triples_across_runs(self, spark, tmp_path):
+        pages = synth_pages(spark, 80, seed=5)
+        run_snapshot(spark, pages, str(tmp_path / "a"), snapshot_id=1, n_parts=4)
+        run_snapshot(spark, pages, str(tmp_path / "b"), snapshot_id=1, n_parts=4)
+        ta = read_snapshot(spark, tmp_path / "a", "triples")
+        tb = read_snapshot(spark, tmp_path / "b", "triples")
+        assert ta.exceptAll(tb).isEmpty() and tb.exceptAll(ta).isEmpty()
