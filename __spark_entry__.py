@@ -183,7 +183,7 @@ ORDER BY bucket
 """
 
 _SQL_QUERIES["orders_by_month"] = """
-SELECT date_trunc('month', o_orderdate) AS month,
+SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
        count(*) AS n,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders
@@ -433,20 +433,18 @@ ORDER BY jaccard DESC, a, b
 LIMIT 50
 """,
     "knn_bruteforce": """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+WITH q AS (SELECT cast(embedding AS array<double>) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        round(
-         aggregate(zip_with(cast(embedding AS array<double>),
-                            cast((SELECT qv FROM q) AS array<double>),
+         aggregate(zip_with(cast(embedding AS array<double>), qv,
                             (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
          / (sqrt(aggregate(zip_with(cast(embedding AS array<double>),
                                     cast(embedding AS array<double>),
                                     (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))
-            * sqrt(aggregate(zip_with(cast((SELECT qv FROM q) AS array<double>),
-                                      cast((SELECT qv FROM q) AS array<double>),
+            * sqrt(aggregate(zip_with(qv, qv,
                                       (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))),
          4) AS cos_sim
-FROM embeddings
+FROM embeddings CROSS JOIN q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
@@ -500,13 +498,15 @@ def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
         F.xxhash64("tok").alias("h"),
-    ).withColumn("bitval", F.when(F.shiftright("h", F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+    ).withColumn(
+        "bitval", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    )
     sim = (
         bits.groupBy("doc_id", "bit")
         .agg(F.sum("bitval").alias("s"))
         .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("b") * F.shiftleft(F.lit(1), F.col("bit"))).alias("simhash"))
+        .agg(F.sum(F.expr("b * shiftleft(1L, bit)")).alias("simhash"))
     )
     return sim.groupBy("simhash").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "simhash").limit(50)
 
