@@ -1,0 +1,93 @@
+"""Headline benchmark (driver contract).
+
+Runs the flagship KG pipeline plus representative relational /
+training-data queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., extras...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ffp_spark.pipeline import build_session
+    from ffp_spark.datagen import synth_pages
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.triples import emit_triples
+    from ffp_spark.udfs import parse_pages
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(
+        "ffp-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # flagship: docs -> feeds -> Arrow parse -> triples (counted)
+    t0 = time.perf_counter()
+    docs = load_documents(spark, sf_dir)
+    pages = documents_as_pages(docs)
+    n_triples = emit_triples(parse_pages(pages)).count()
+    dt = time.perf_counter() - t0
+    timings["kg_docfeeds_triples"] = round(dt, 3)
+    n_docs = docs.count()
+    extras["docs_per_sec"] = round(n_docs / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+
+    # synthetic multi-entry corpus (heavier parse, skewed domains)
+    n_synth = max(500, int(float(sf) * 30000)) if sf.replace(".", "").isdigit() else 3000
+    t0 = time.perf_counter()
+    synth_triples = emit_triples(parse_pages(synth_pages(spark, n_synth, seed=42))).count()
+    dt = time.perf_counter() - t0
+    timings["kg_synth_triples"] = round(dt, 3)
+    extras["synth_pages"] = n_synth
+    extras["synth_triples_per_sec"] = round(synth_triples / dt, 1)
+
+    # representative registered queries (same code path the driver checks)
+    queries = entry_mod.queries()
+    for name in (
+        "agg_pricing",
+        "dim_join_rollup",
+        "window_top_event",
+        "explode_tokens",
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "knn_bruteforce",
+        "minhash_lsh_candidates",
+    ):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    report = {
+        "metric": "kg_pipeline_and_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_triples": n_triples,
+        **extras,
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -276,14 +276,21 @@ def synth_page(seed: int, i: int) -> dict[str, Any]:
 
 
 def synth_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Distributed deterministic generation: no driver materialization."""
+    """Distributed deterministic generation: no driver materialization.
+    mapInArrow (not mapInPandas): binary payloads through pandas object
+    arrays are the slow path."""
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [synth_page(seed, int(i)) for i in pdf["id"]]
-            yield pd.DataFrame(rows)
+    arrow_schema = to_arrow_schema(PAGES_SCHEMA)
 
-    return spark.range(n).mapInPandas(gen, schema=PAGES_SCHEMA)
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            rows = [synth_page(seed, int(i)) for i in batch.column("id").to_pylist()]
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return spark.range(n).mapInArrow(gen, schema=PAGES_SCHEMA)
 
 
 def fixture_pages(spark: SparkSession) -> DataFrame:

@@ -46,6 +46,8 @@ def add_part_id(pages: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFrame:
 
 
 def build_session(app: str, master: Optional[str] = None, shuffle_partitions: int = 64) -> SparkSession:
+    import os
+
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
@@ -54,7 +56,15 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # measured on the binary-payload parse path at 32 cores: arrow
+        # batches of 256 rows keep the JVM writer / Python parser pipeline
+        # overlapped (2x faster than 1024); parquet columnar batches of
+        # 512 avoid WritableColumnVector doubling-realloc thrash on ~KB
+        # binary cells (10x faster than the 4096 default)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.driver.memory", os.environ.get("FFP_DRIVER_MEM", "12g"))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

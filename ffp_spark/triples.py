@@ -32,7 +32,12 @@ def exploded_entries(parsed: DataFrame) -> DataFrame:
 
 
 def emit_triples(parsed: DataFrame) -> DataFrame:
-    """PARSED -> TRIPLES (subj, pred, obj, src_url)."""
+    """PARSED -> TRIPLES (subj, pred, obj, src_url).
+
+    Single-pass: one explode + one generator projection.  (A union of
+    four per-predicate projections reads cleaner but Catalyst does not
+    de-duplicate the shared mapInPandas subtree, so the Python parse
+    stage would execute once per union branch — 4x the work.)"""
     e = exploded_entries(parsed).select(
         "url",
         "feed_node",
@@ -41,36 +46,22 @@ def emit_triples(parsed: DataFrame) -> DataFrame:
         F.col("entry.author").alias("author"),
     )
 
-    published_at = e.select(
-        F.col("entry_id").alias("subj"),
-        F.lit(PRED_PUBLISHED_AT).alias("pred"),
-        F.col("published").alias("obj"),
-        F.col("url").alias("src_url"),
-    )
-    authored = e.select(
-        F.col("entry_id").alias("subj"),
-        F.lit(PRED_AUTHOR).alias("pred"),
-        F.col("author").alias("obj"),
-        F.col("url").alias("src_url"),
-    )
-    part_of = e.select(
-        F.col("entry_id").alias("subj"),
-        F.lit(PRED_PART_OF_FEED).alias("pred"),
-        F.col("feed_node").alias("obj"),
-        F.col("url").alias("src_url"),
-    )
-    has_entry = e.select(
-        F.col("feed_node").alias("subj"),
-        F.lit(PRED_HAS_ENTRY).alias("pred"),
-        F.col("entry_id").alias("obj"),
-        F.col("url").alias("src_url"),
-    )
+    def quad(subj, pred: str, obj):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+        )
 
-    triples = (
-        published_at.unionByName(authored)
-        .unionByName(part_of)
-        .unionByName(has_entry)
-    )
+    triples = e.select(
+        F.explode(
+            F.array(
+                quad(F.col("entry_id"), PRED_PUBLISHED_AT, F.col("published")),
+                quad(F.col("entry_id"), PRED_AUTHOR, F.col("author")),
+                quad(F.col("entry_id"), PRED_PART_OF_FEED, F.col("feed_node")),
+                quad(F.col("feed_node"), PRED_HAS_ENTRY, F.col("entry_id")),
+            )
+        ).alias("t"),
+        F.col("url").alias("src_url"),
+    ).select("t.subj", "t.pred", "t.obj", "src_url")
     return triples.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
 
 

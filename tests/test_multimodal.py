@@ -1,0 +1,82 @@
+"""Multimodal plumbing: binary columns, sniffing, decode/resize/frame
+stubs with real Arrow batch shapes, embeddings feeding ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffp_spark.multimodal import (
+    MEDIA_SCHEMA,
+    attach_mime,
+    decode_images,
+    embed_media,
+    resize_images,
+    sample_frames,
+    sniff_mime,
+    synth_media_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(synth_media_rows(80), schema=MEDIA_SCHEMA).cache()
+
+
+def test_sniff_mime_unit():
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
+    assert sniff_mime(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    assert sniff_mime(b"RIFF1234WAVEdata") == "audio/wav"
+    assert sniff_mime(b"\x00\x00\x00\x18ftypmp42") == "video/mp4"
+    assert sniff_mime(b"plain text") == "application/octet-stream"
+    assert sniff_mime(None) is None
+
+
+def test_attach_mime_matches_kind(spark, media):
+    got = attach_mime(media.drop("mime")).select("kind", "mime").distinct().collect()
+    pairs = {(r.kind, r.mime) for r in got}
+    assert ("image", "image/png") in pairs or ("image", "image/jpeg") in pairs
+    assert ("audio", "audio/wav") in pairs
+    assert ("video", "video/mp4") in pairs
+    assert not any(m is None for _, m in pairs)
+
+
+def test_decode_resize_shapes(spark, media):
+    imgs = media.filter("kind = 'image'")
+    decoded = decode_images(imgs)
+    rows = decoded.collect()
+    assert len(rows) == imgs.count()
+    for r in rows:
+        assert len(r.pixels) == r.width * r.height * 3
+    resized = resize_images(decoded, 8, 8).collect()
+    assert all(len(r.pixels) == 8 * 8 * 3 for r in resized)
+    # deterministic
+    again = {r.media_id: bytes(r.pixels) for r in resize_images(decoded, 8, 8).collect()}
+    assert {r.media_id: bytes(r.pixels) for r in resized} == again
+
+
+def test_frame_sampling_row_counts(spark, media):
+    frames = sample_frames(media, every_ms=500)
+    counts = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durations = {
+        r.media_id: r.duration_ms for r in media.filter("kind='video'").collect()
+    }
+    assert counts  # some videos exist
+    for mid, n in counts.items():
+        expected = (durations[mid] + 499) // 500
+        assert n == expected, (mid, n, expected)
+
+
+def test_embeddings_feed_ann(spark, media):
+    emb = embed_media(media).filter("embedding is not null")
+    row = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in row] == [64]
+    # unit-norm within float tolerance
+    norms = emb.select(
+        F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"),
+                       F.col("embedding").cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r.sq - 1.0) < 1e-3 for r in norms)
