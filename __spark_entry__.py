@@ -79,6 +79,35 @@ def _q_kg_author_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_published_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end check of the date cascade through the KG pipeline: the
+    doc-feed generator stamps epoch + doc_id hours as pubDate; the parse
+    stage normalizes it to ISO-UTC; the oracle recomputes the histogram
+    from doc_id arithmetic alone."""
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.triples import emit_triples
+    from ffp_spark.udfs import parse_pages
+
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    triples = emit_triples(parse_pages(pages))
+    return (
+        triples.filter(F.col("pred") == "publishedAt")
+        .select(F.substring("obj", 1, 10).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+    )
+
+
+_ORACLE_ONLY["kg_published_days"] = """
+SELECT strftime(TIMESTAMP '2025-01-01' + INTERVAL (doc_id) HOUR, '%Y-%m-%d') AS day,
+       count(*) AS n
+FROM documents
+GROUP BY day
+ORDER BY day
+"""
+
+
 _ORACLE_ONLY["kg_author_cards"] = """
 WITH authors(idx, author) AS (
   VALUES (0, 'Ada Author'), (1, 'Ben Writer'), (2, 'Cara Blogger'),
@@ -548,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_to_spark(name, _SPARK_DIALECT.get(name, sql))
     out["kg_pred_counts"] = _q_kg_pred_counts
     out["kg_author_cards"] = _q_kg_author_cards
+    out["kg_published_days"] = _q_kg_published_days
     out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates
     out["simhash_buckets"] = _q_simhash_buckets
     out["ann_lsh_bucketed"] = _q_ann_lsh_bucketed

@@ -23,7 +23,9 @@ _AUTHORS = ("Ada Author", "Ben Writer", "Cara Blogger", "Dan Poster", "Eve Edito
 
 
 def doc_to_feed_xml(doc_id: int, text: str, lang: str, source: str) -> bytes:
-    published = (_EPOCH + _dt.timedelta(seconds=int(doc_id))).strftime(
+    # one hour per doc_id: spreads published dates across days so the
+    # date-normalization cross-check query has a real histogram
+    published = (_EPOCH + _dt.timedelta(hours=int(doc_id))).strftime(
         "%Y-%m-%dT%H:%M:%SZ"
     )
     author = _AUTHORS[int(doc_id) % len(_AUTHORS)]

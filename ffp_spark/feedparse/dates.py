@@ -163,9 +163,15 @@ def _dateutil_fallback(value: str) -> Optional[_dt.datetime]:
 
 
 def to_iso_utc(date_str: Optional[str]) -> Optional[str]:
-    """Full cascade; returns ISO-8601 UTC string or None."""
+    """Full cascade; returns ISO-8601 UTC string or None.  Memoized —
+    feed corpora repeat pubDates heavily (reference uses lru 8192)."""
     if not date_str:
         return None
+    return _cascade_cached(date_str)
+
+
+@lru_cache(maxsize=16384)
+def _cascade_cached(date_str: str) -> Optional[str]:
     s = date_str.strip()
     if not s:
         return None

@@ -102,9 +102,15 @@ def materialize_graph(
         .withColumn("part_id", F.pmod(F.xxhash64("src_url"), F.lit(n_parts)).cast("int"))
     )
 
+    from .linking import salted_broadcast_join
+
     mentions = extract_mentions(parsed)
-    author_mentions = mentions.filter(F.col("kind") == "author").join(
-        canon, "norm", "left"
+    # canonical dictionary join (K5): the canon mapping is the small side
+    # and author surfaces are Zipf-skewed (a few prolific authors own a
+    # large share of mentions) — replicate+salt the broadcast so one hot
+    # norm fans out across n_salts probe streams instead of one task
+    author_mentions = salted_broadcast_join(
+        mentions.filter(F.col("kind") == "author"), canon, "norm", n_salts=8
     )
     author_nodes = (
         author_mentions.groupBy(
