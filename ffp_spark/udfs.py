@@ -169,6 +169,19 @@ def parse_page_rows(
             except Exception as exc:  # error row, never a task failure
                 rec["error"] = str(exc)[:500]
                 rec["error_class"] = _classify_error(exc)
+                # offline analogue of the reference's meta-refresh retry
+                # (main.py:877-893): record the redirect target so a later
+                # self-join on url == redirect can resolve it (SURVEY S3)
+                if rec["error_class"] == "html_page":
+                    try:
+                        from .feedparse import meta_refresh_url
+
+                        target = meta_refresh_url(payload, url or "")
+                        if target:
+                            rec["error"] = f"meta_refresh:{target}"
+                            rec["error_class"] = "meta_refresh"
+                    except Exception:
+                        pass
             rows.append(rec)
         yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 

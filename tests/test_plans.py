@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: the optimizations we claim must show up
+in .explain output (pushdown, pruning, broadcast, codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffp_spark.udfs import parse_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_parse_scan_prunes_columns(spark, tmp_path):
+    # PAGES has 5 columns; the parse stage must scan only what it feeds
+    from ffp_spark.datagen import synth_pages
+
+    synth_pages(spark, 50).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    pages = spark.read.parquet(str(tmp_path / "p"))
+    plan = _plan(parse_pages(pages.select("url", "html")))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "text" not in read_schema[0] and "lang" not in read_schema[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 100")
+    plan = _plan(docs.select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or (
+        "LessThan(doc_id,100)" in plan
+    ), plan
+
+
+def test_dim_join_uses_broadcast(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["dim_join_rollup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_agg_is_whole_stage_codegen_with_partial_agg(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["agg_pricing"](spark, SF_DIR)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan, plan
+    # map-side combine: a partial HashAggregate before the shuffle
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2, plan
+
+
+def test_triples_single_python_stage(spark, tmp_path):
+    # the union-free triple emitter must contain exactly ONE Python stage
+    from ffp_spark.datagen import synth_pages
+    from ffp_spark.triples import emit_triples
+
+    synth_pages(spark, 50).write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    pages = spark.read.parquet(str(tmp_path / "p2"))
+    plan = _plan(emit_triples(parse_pages(pages)))
+    assert plan.count("MapInArrow") == 1, plan
+
+
+def test_salted_join_broadcasts_small_side(spark):
+    from ffp_spark.linking import salted_broadcast_join
+
+    big = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("key"), "id"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(3)], "key string, label string"
+    )
+    plan = _plan(salted_broadcast_join(big, small, "key"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
