@@ -52,7 +52,8 @@ def test_agg_is_whole_stage_codegen_with_partial_agg(spark):
     df = entry_mod.queries()["agg_pricing"](spark, SF_DIR)
     df.collect()  # finalize the AQE plan so codegen spans are visible
     plan = _plan(df)
-    assert "WholeStageCodegen" in plan, plan
+    # codegen spans print as "*(n)" in the plan string
+    assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
     # map-side combine: a partial HashAggregate before the shuffle
     assert "partial_sum" in plan and plan.count("HashAggregate") >= 2, plan
 
