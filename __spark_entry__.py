@@ -504,7 +504,9 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates over documents (rows-only check —
-    signature hashing isn't SQL-expressible in DuckDB)."""
+    signature hashing isn't SQL-expressible in DuckDB).  Word-3-gram
+    shingles: char-grams over a shared vocabulary collide so heavily
+    that LSH degenerates to the full n^2 pair set."""
     from ffp_spark.linking import candidate_pairs, with_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -512,7 +514,7 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("mention_id"),
         F.lower(F.col("text")).alias("norm"),
     )
-    return candidate_pairs(with_signatures(m), min_jaccard=0.3).select(
+    return candidate_pairs(with_signatures(m, mode="word"), min_jaccard=0.3).select(
         "a", "b", F.round("score", 4).alias("score")
     ).orderBy(F.desc("score"), "a", "b")
 

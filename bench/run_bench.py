@@ -33,7 +33,6 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-CORPUS = "/tmp/ffp_bench_corpus"
 
 
 def run_level(cpus: int, corpus: str) -> dict:
@@ -75,15 +74,16 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     levels = [int(x) for x in sys.argv[2:]] or [2, 8, 32]
 
-    marker = Path(CORPUS) / "_SUCCESS"
-    if not marker.exists():
+    corpus = f"/tmp/ffp_bench_corpus_{n_pages}"  # size-keyed: a cached
+    # corpus of a different size must not be silently reused
+    if not (Path(corpus) / "_SUCCESS").exists():
         subprocess.run(
-            [sys.executable, str(REPO / "bench" / "gen_corpus.py"), str(n_pages), CORPUS],
+            [sys.executable, str(REPO / "bench" / "gen_corpus.py"), str(n_pages), corpus],
             check=True,
             cwd=REPO,
         )
 
-    results = {n: run_level(n, CORPUS) for n in levels}
+    results = {n: run_level(n, corpus) for n in levels}
     ceilings = {n: hardware_ceiling(n) for n in levels}
 
     pairs = []
