@@ -356,6 +356,22 @@ ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
+_SQL_QUERIES["dedup_embedding_cosine"] = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+ORDER BY cos_sim DESC, a, b
+LIMIT 50
+"""
+
 _SQL_QUERIES["embedding_norms"] = """
 SELECT label,
        count(*) AS n,
@@ -364,6 +380,25 @@ SELECT label,
 FROM embeddings
 GROUP BY label
 ORDER BY label
+"""
+
+
+_STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','at','by','from','as','not']"
+
+_ORACLE_ONLY["quality_scores"] = f"""
+SELECT source,
+  round(avg(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> list_contains({_STOPLIST_SQL}, t))) * 1.0
+            / greatest(len(string_split_regex(lower(text), '\\s+')), 1)), 4)
+    AS avg_stopword_ratio,
+  round(avg((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+            / greatest(length(text), 1)), 4) AS avg_punct_ratio,
+  round(avg(len(string_split_regex(lower(text), '\\s+')) * 1.0
+            / greatest(length(text), 1)), 4) AS avg_token_density,
+  count(*) AS n
+FROM documents
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -478,6 +513,20 @@ WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """,
+    "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, label, cast(embedding AS array<double>) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, p) -> acc + p)) AS nrm
+      FROM e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (acc, p) -> acc + p)
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (acc, p) -> acc + p)
+      / (a.nrm * b.nrm) >= 0.9
+ORDER BY cos_sim DESC, a, b
+LIMIT 50
+""",
     "embedding_norms": """
 SELECT label,
        count(*) AS n,
@@ -573,6 +622,58 @@ def _q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withb.groupBy("bucket").agg(F.count("*").alias("n")).orderBy("bucket")
 
 
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic centroids + one Lloyd step,
+    nprobe=2 cells searched exactly (rows-only; the scale path for
+    similarity search)."""
+    from ffp_spark.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(emb, q, k=10, n_cells=8, nprobe=2).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language classifier (train+predict all JVM-side):
+    actual vs predicted confusion counts (rows-only)."""
+    from ffp_spark.textops import predict_lang, train_lang_model
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_lang_model(docs)
+    pred = predict_lang(docs, model)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ffp_spark.textops import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(docs)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("token_density"), 4).alias("avg_token_density"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
@@ -583,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates
     out["simhash_buckets"] = _q_simhash_buckets
     out["ann_lsh_bucketed"] = _q_ann_lsh_bucketed
+    out["ann_ivf"] = _q_ann_ivf
+    out["lang_id_confusion"] = _q_lang_id_confusion
+    out["quality_scores"] = _q_quality_scores
     return out
 
 

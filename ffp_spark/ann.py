@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all JVM-side expressions (zip_with/aggregate — no Python
+in the scoring path):
+
+* ``cosine_topk`` — exact brute force; the baseline and the per-bucket
+  kernel for the approximate tiers.
+* ``hyperplane_buckets`` — random-hyperplane LSH (sign bits -> bucket);
+  probe only the query's bucket.
+* ``ivf_assign`` / ``ivf_topk`` — IVF: deterministic seed centroids,
+  one Lloyd refinement (element-wise mean via posexplode + groupBy —
+  still JVM-side), nprobe nearest cells searched exactly.
+
+Scale path: assignment is a broadcast join against the (tiny) centroid
+table; the search anti-prunes all but nprobe cells, so the exact kernel
+touches ~nprobe/k of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def _lit_vec(vec: Sequence[float]):
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one narrow projection + orderBy/limit (Spark
+    plans TakeOrderedAndProject — no full sort materialization)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    v = _as_double(vec_col)
+    sim = _dot(v, _lit_vec(q)) / (F.sqrt(_dot(v, v)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (deterministic planes)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    v = _as_double(vec_col)
+    bucket = F.aggregate(
+        F.array(*[
+            F.when(_dot(v, _lit_vec(p)) > 0, F.lit(1)).otherwise(F.lit(0))
+            for p in planes
+        ]),
+        F.lit(0),
+        lambda acc, b: acc * 2 + b,
+    )
+    return emb.withColumn("bucket", bucket)
+
+
+def _bucket_of(query: Sequence[float], n_planes: int = 8, seed: int = 7) -> int:
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, len(query))
+    q = np.asarray(query, dtype=np.float64)
+    bits = (planes @ q > 0).astype(int)
+    out = 0
+    for b in bits:
+        out = out * 2 + int(b)
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10,
+    n_planes: int = 8, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact kernel over the query's bucket only."""
+    bucketed = hyperplane_buckets(emb, n_planes=n_planes, dim=len(query), seed=seed, vec_col=vec_col)
+    target = _bucket_of(query, n_planes=n_planes, seed=seed)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == target), query, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeds (first n_cells ids) + one Lloyd refinement.
+    The refinement is posexplode -> groupBy(cell, dim) avg -> re-collect:
+    pure DataFrame ops, shuffles rows*dim scalars once."""
+    seeds = (
+        emb.orderBy(id_col).limit(n_cells)
+        .select(
+            F.row_number().over(__import__("pyspark").sql.Window.orderBy(id_col)).alias("cell"),
+            _as_double(vec_col).alias("centroid"),
+        )
+        .withColumn("cell", F.col("cell") - 1)
+    )
+    assigned = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col)
+    refined = (
+        assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("mu"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["mu"]).alias("centroid"))
+    )
+    return refined
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine cell via a broadcast cross
+    join with the tiny centroid table + max_by reduce."""
+    v = _as_double(vec_col)
+    joined = emb.crossJoin(F.broadcast(centroids))
+    c = F.col("centroid")
+    sim = _dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c)))
+    scored = joined.select(F.col(id_col), F.col(vec_col), F.col("cell"), sim.alias("s"))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max_by("cell", "s").alias("cell"), F.first(vec_col).alias(vec_col))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10, n_cells: int = 8,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None, assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search: nprobe nearest cells to the query, exact kernel inside."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    q = _lit_vec(query)
+    c = F.col("centroid")
+    cell_sim = _dot(c, q) / (F.sqrt(_dot(c, c)))
+    probe_cells = [
+        r.cell
+        for r in centroids.select("cell", cell_sim.alias("s"))
+        .orderBy(F.desc("s")).limit(nprobe).collect()
+    ]
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin(probe_cells)), query, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
