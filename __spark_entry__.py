@@ -367,7 +367,7 @@ FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id AND a.label = b.label
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
 ORDER BY cos_sim DESC, a, b
 LIMIT 50
 """
@@ -523,7 +523,7 @@ SELECT a.vec_id AS a, b.vec_id AS b,
              / (a.nrm * b.nrm), 4) AS cos_sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.label = b.label
 WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (acc, p) -> acc + p)
-      / (a.nrm * b.nrm) >= 0.9
+      / (a.nrm * b.nrm) >= 0.35
 ORDER BY cos_sim DESC, a, b
 LIMIT 50
 """,

@@ -179,17 +179,27 @@ def run_snapshot(
     n_parts: int = DEFAULT_PARTS,
     resume: bool = True,
     n_buckets: int = 16,
+    incremental_from: Optional[int] = None,
 ) -> dict[str, Any]:
     """Process one snapshot of the PAGES table into committed KG tables.
 
     Resumable: if a lineage table exists for this snapshot_id, partitions
-    marked done are anti-joined away before any work happens."""
+    marked done are anti-joined away before any work happens.
+    Incremental: with ``incremental_from=<parent snapshot id>``, urls the
+    parent already saw are anti-joined away and the parent's triples are
+    merged into this snapshot's committed tables (append-only logical
+    snapshot over a physical delta, Iceberg-style)."""
     pages = add_part_id(pages, n_parts)
 
     prior_lineage: Optional[DataFrame] = None
+    prior_seen: Optional[DataFrame] = None
     if resume and snapshots_of(out_root, "lineage"):
         all_lineage = read_snapshot(spark, out_root, "lineage")
         prior_lineage = all_lineage.filter(F.col("snapshot_id") == snapshot_id)
+    if incremental_from is not None:
+        # K9 incremental: only urls never seen by the parent snapshot
+        prior_seen = read_snapshot(spark, out_root, "pages_seen", incremental_from)
+        pages = pages.join(prior_seen.select("url"), "url", "left_anti")
     todo = remaining_pages(pages, prior_lineage)
 
     # explicit url-hash partitioning before the Python stage (K11)
@@ -229,6 +239,16 @@ def run_snapshot(
         "errors": {r.error_class: r["count"] for r in error_histogram(parsed).collect()},
     }
 
+    # incremental merge: the parent snapshot's committed graph is carried
+    # forward; this run only parsed the delta
+    if incremental_from is not None and incremental_from in snapshots_of(out_root, "triples"):
+        parent_triples = read_snapshot(spark, out_root, "triples", incremental_from)
+        triples = triples.unionByName(parent_triples.select(*triples.columns))
+        parent_nodes = read_snapshot(spark, out_root, "nodes", incremental_from).drop("bucket")
+        nodes = nodes.unionByName(parent_nodes.select(*nodes.columns)).dropDuplicates(["node_id"])
+        parent_edges = read_snapshot(spark, out_root, "edges", incremental_from).drop("bucket")
+        edges = edges.unionByName(parent_edges.select(*edges.columns)).dropDuplicates(["src", "dst", "pred"])
+
     # resume merge: a re-commit of the same snapshot keeps work already
     # done by the interrupted run (its partitions were anti-joined away
     # above, so their rows exist only in the prior committed tables)
@@ -256,6 +276,12 @@ def run_snapshot(
     m_nodes = write_snapshot(nodes_b, out_root, "nodes", snapshot_id, partition_by=["bucket"])
     m_edges = write_snapshot(edges_b, out_root, "edges", snapshot_id, partition_by=["bucket"])
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
+    # compact url registry: what this snapshot has seen (drives the
+    # incremental anti-join for the NEXT snapshot, K9)
+    seen = pages.select("url", "part_id")
+    if prior_seen is not None:
+        seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
+    write_snapshot(seen, out_root, "pages_seen", snapshot_id)
     parsed.unpersist()
     return {
         "snapshot_id": snapshot_id,

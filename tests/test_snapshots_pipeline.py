@@ -83,6 +83,28 @@ class TestPipeline:
             == full["pages"]
         )
 
+    def test_incremental_snapshot_processes_only_new_urls(self, spark, tmp_path):
+        from ffp_spark.snapshots import read_manifest
+
+        base = synth_pages(spark, 100, seed=9)
+        grown = synth_pages(spark, 150, seed=9)  # superset: same first 100
+        r1 = run_snapshot(spark, base, str(tmp_path), snapshot_id=1, n_parts=8)
+        r2 = run_snapshot(
+            spark, grown, str(tmp_path), snapshot_id=2, n_parts=8, incremental_from=1
+        )
+        assert r2["pages"] == 50  # only the delta parsed
+        # snapshot 2 is the full logical graph: its triples cover both runs
+        full = run_snapshot(
+            spark, grown, str(tmp_path / "full"), snapshot_id=2, n_parts=8
+        )
+        t_inc = read_snapshot(spark, tmp_path, "triples", snapshot_id=2)
+        t_full = read_snapshot(spark, tmp_path / "full", "triples", snapshot_id=2)
+        inc_set = {(r.subj, r.pred, r.obj, r.src_url) for r in t_inc.collect()}
+        full_set = {(r.subj, r.pred, r.obj, r.src_url) for r in t_full.collect()}
+        assert inc_set == full_set
+        # time travel: snapshot 1 still readable underneath
+        assert read_snapshot(spark, tmp_path, "triples", snapshot_id=1).count() == r1["triples"]
+
     def test_deterministic_triples_across_runs(self, spark, tmp_path):
         pages = synth_pages(spark, 80, seed=5)
         run_snapshot(spark, pages, str(tmp_path / "a"), snapshot_id=1, n_parts=4)
