@@ -674,6 +674,41 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: build binary payloads (magic
+    prefix keyed by doc_id % 4 + utf-8 text bytes) JVM-side, sniff the
+    mime in the Arrow UDF, count per mime.  Oracle derives the expected
+    histogram from doc_id arithmetic."""
+    from ffp_spark.multimodal import attach_mime
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    magic = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(b"\x89PNG\r\n\x1a\n"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(b"RIFF0000WAVE"))
+        .otherwise(F.lit(b"\x00\x00\x00\x18ftypmp42"))
+    )
+    media = docs.select(
+        "doc_id", F.concat(magic, F.encode("text", "utf-8")).alias("payload")
+    )
+    return (
+        attach_mime(media)
+        .groupBy("mime")
+        .agg(F.count("*").alias("n"))
+        .orderBy("mime")
+    )
+
+
+_ORACLE_ONLY["media_mime_counts"] = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       count(*) AS n
+FROM documents
+GROUP BY mime
+ORDER BY mime
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
@@ -687,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     out["lang_id_confusion"] = _q_lang_id_confusion
     out["quality_scores"] = _q_quality_scores
+    out["media_mime_counts"] = _q_media_mime_counts
     return out
 
 
