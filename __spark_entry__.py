@@ -125,8 +125,8 @@ GROUP BY a.author ORDER BY author
 
 _SQL_QUERIES["agg_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(cast(l_quantity AS DECIMAL(18, 4))), 2) AS sum_qty,
+       round(sum(cast(l_extendedprice AS DECIMAL(18, 4))), 2) AS sum_price,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS n
 FROM lineitem
@@ -214,7 +214,7 @@ ORDER BY bucket
 _SQL_QUERIES["orders_by_month"] = """
 SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS revenue
+       round(sum(cast(o_totalprice AS DECIMAL(18, 4))), 2) AS revenue
 FROM orders
 GROUP BY month
 ORDER BY month
@@ -228,6 +228,23 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY r_name, n_name
+"""
+
+_SQL_QUERIES["revenue_by_nation"] = """
+SELECT n_name,
+       -- decimal accumulation: exact and summation-order independent,
+       -- so Spark and DuckDB agree to the cent
+       round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))), 2)
+         AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate <  DATE '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
 """
 
 _SQL_QUERIES["window_top_event"] = """
