@@ -58,6 +58,27 @@ def main() -> None:
     extras["synth_pages"] = n_synth
     extras["synth_triples_per_sec"] = round(synth_triples / dt, 1)
 
+    # full pipeline: parse -> triples -> linking -> CC -> snapshot commit
+    import shutil
+    import tempfile
+
+    from ffp_spark.pipeline import run_snapshot
+
+    snap_dir = tempfile.mkdtemp(prefix="ffp_bench_snap_")
+    try:
+        t0 = time.perf_counter()
+        report_snap = run_snapshot(
+            spark, synth_pages(spark, n_synth, seed=43), snap_dir,
+            snapshot_id=1, n_parts=max(16, cpus),
+        )
+        dt = time.perf_counter() - t0
+        timings["kg_full_snapshot"] = round(dt, 3)
+        extras["snapshot_pages_per_sec"] = round(n_synth / dt, 1)
+        extras["snapshot_nodes"] = report_snap["nodes"]
+        extras["snapshot_edges"] = report_snap["edges"]
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+
     # representative registered queries (same code path the driver checks)
     queries = entry_mod.queries()
     for name in (
