@@ -150,8 +150,11 @@ def candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    # dedupe identical (norm, band) up front: identical surfaces pair trivially
-    left = banded.alias("l")
+    # shuffle-hash, never broadcast: both sides descend from a Python UDF
+    # whose cardinality Catalyst can't estimate — left alone, AQE guesses
+    # "tiny" and broadcasts hundreds of MB of signatures (observed: 1 GB
+    # broadcast-exchange GC thrash at 100k surfaces)
+    left = banded.alias("l").hint("shuffle_hash")
     right = banded.alias("r")
     pairs = (
         left.join(
@@ -173,6 +176,62 @@ def candidate_pairs(
         .dropDuplicates(["a", "b"])
     )
     scored = pairs.withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(k),
+    ).drop("sig_a", "sig_b")
+    return scored.filter(F.col("score") >= min_jaccard)
+
+
+def bucket_star_edges(
+    signed: DataFrame,
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Scale path for *clustering*: per LSH bucket, link every member to
+    the bucket representative (min id) instead of all pairs.
+
+    All-pairs is O(bucket^2) — a hot domain whose feed titles all share
+    a bucket turns 6k members into 18M pairs.  The star keeps O(bucket)
+    edges while preserving connectivity for connected components (any
+    two members of a bucket are joined through the representative; the
+    per-edge Jaccard filter still prunes false bucket collisions).
+    """
+    rows_per_band = k // bands
+    banded = signed.filter(F.col("sig").isNotNull()).select(
+        "mention_id",
+        "norm",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    reps = banded.groupBy("band_id", "band_hash").agg(
+        F.min_by(F.struct("mention_id", "norm", "sig"), "mention_id").alias("rep")
+    )
+    linked = (
+        banded.hint("shuffle_hash")
+        .join(reps, ["band_id", "band_hash"])
+        .where(F.col("mention_id") > F.col("rep.mention_id"))
+        .select(
+            F.col("rep.mention_id").alias("a"),
+            F.col("mention_id").alias("b"),
+            F.col("rep.norm").alias("norm_a"),
+            F.col("norm").alias("norm_b"),
+            F.col("rep.sig").alias("sig_a"),
+            F.col("sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    scored = linked.withColumn(
         "score",
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -23,7 +23,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .cc import connected_components
-from .linking import candidate_pairs, extract_mentions, with_signatures
+from .linking import bucket_star_edges, extract_mentions, with_signatures
 from .metrics import error_histogram
 from .schemas import PRED_AUTHOR
 from .snapshots import (
@@ -81,7 +81,10 @@ def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFr
         F.col("norm").isNotNull() & (F.col("norm") != "")
     ).distinct().withColumn("mention_id", F.col("norm"))
     signed = with_signatures(distinct_surfaces)
-    scored = candidate_pairs(signed, min_jaccard=min_jaccard)
+    # star edges, not all pairs: hot-domain surfaces share buckets and
+    # all-pairs is O(bucket^2) — connectivity through the bucket
+    # representative is all CC needs
+    scored = bucket_star_edges(signed, min_jaccard=min_jaccard)
     edges = scored.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
     components = connected_components(edges)
     mapping = distinct_surfaces.select("norm").join(
