@@ -16,8 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 def partition_lineage(parsed: DataFrame, snapshot_id: int) -> DataFrame:
     """Counts per explicit part_id (url-hash partition), map-side combined."""
     return (
-        parsed.withColumn("part_id", F.col("part_id"))
-        .groupBy("part_id")
+        parsed.groupBy("part_id")
         .agg(
             F.count("*").alias("n_pages"),
             F.count(F.when(F.col("error").isNull(), 1)).alias("n_parsed"),
