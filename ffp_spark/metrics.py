@@ -37,6 +37,47 @@ def error_histogram(parsed: DataFrame) -> DataFrame:
     )
 
 
+def clustering_pairwise_prf(predicted: DataFrame, golden: DataFrame) -> dict[str, float]:
+    """Pairwise precision/recall/F1 of an entity clustering.
+
+    Inputs: (item, cluster) assignments.  A "pair" is two items sharing a
+    cluster; P = |pred pairs ∩ gold pairs| / |pred pairs|, R likewise.
+    Pairs are generated with self-joins on the cluster id — distributed,
+    but quadratic in cluster size, so intended for evaluation corpora.
+    """
+
+    def pairs(df: DataFrame, cluster_col: str) -> DataFrame:
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"),
+                    F.col("a.item") < F.col("b.item"),
+                ],
+            )
+            .select(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+            .distinct()
+        )
+
+    p_pairs = pairs(predicted.select("item", "cluster"), "cluster")
+    g_pairs = pairs(golden.select("item", "cluster"), "cluster")
+    n_p = p_pairs.count()
+    n_g = g_pairs.count()
+    n_i = p_pairs.join(g_pairs, ["x", "y"]).count()
+    precision = n_i / n_p if n_p else 0.0
+    recall = n_i / n_g if n_g else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "n_pred_pairs": n_p,
+        "n_gold_pairs": n_g,
+        "n_intersect": n_i,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
 def precision_recall(
     ours: DataFrame, golden: DataFrame, keys: tuple[str, ...] = ("subj", "pred", "obj", "src_url")
 ) -> dict[str, float]:

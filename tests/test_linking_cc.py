@@ -154,3 +154,54 @@ class TestEndToEndLinking:
         for cluster, canons in by_cluster.items():
             for c in canons:
                 assert seen.setdefault(c, cluster) == cluster, (c, cluster, seen[c])
+
+
+class TestClusteringMetric:
+    def test_pairwise_prf_exact_match(self, spark):
+        from ffp_spark.metrics import clustering_pairwise_prf
+
+        gold = spark.createDataFrame(
+            [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2"), ("e", "c3")],
+            "item string, cluster string",
+        )
+        res = clustering_pairwise_prf(gold, gold)
+        assert res["precision"] == res["recall"] == res["f1"] == 1.0
+
+    def test_pairwise_prf_over_merge_hurts_precision(self, spark):
+        from ffp_spark.metrics import clustering_pairwise_prf
+
+        gold = spark.createDataFrame(
+            [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2")],
+            "item string, cluster string",
+        )
+        merged = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")],
+            "item string, cluster string",
+        )
+        res = clustering_pairwise_prf(merged, gold)
+        assert res["recall"] == 1.0
+        assert abs(res["precision"] - 2 / 6) < 1e-9
+
+    def test_linking_clusters_scored_against_oracle(self, spark):
+        """End to end: synth corpus -> canonicalization -> pairwise F1 vs
+        the generator's known author clusters (linkable variants)."""
+        from ffp_spark.datagen import author_cluster_oracle, synth_pages
+        from ffp_spark.metrics import clustering_pairwise_prf
+        from ffp_spark.pipeline import link_and_canonicalize
+        from ffp_spark.udfs import parse_pages
+
+        parsed = parse_pages(synth_pages(spark, 150, seed=11))
+        canon = link_and_canonicalize(parsed, min_jaccard=0.35)
+
+        def norm(s):
+            return " ".join("".join(c if c.isalnum() else " " for c in s.lower()).split())
+
+        oracle_rows = [(norm(s), c) for s, c in author_cluster_oracle().items()]
+        golden = spark.createDataFrame(
+            sorted(set(oracle_rows)), "item string, cluster string"
+        )
+        predicted = canon.join(
+            golden.select("item"), canon.norm == golden.item
+        ).select(F.col("norm").alias("item"), F.col("canonical_norm").alias("cluster"))
+        res = clustering_pairwise_prf(predicted, golden)
+        assert res["f1"] >= 0.6, res
