@@ -125,9 +125,9 @@ GROUP BY a.author ORDER BY author
 
 _SQL_QUERIES["agg_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(cast(l_quantity AS DECIMAL(18, 4))), 2) AS sum_qty,
-       round(sum(cast(l_extendedprice AS DECIMAL(18, 4))), 2) AS sum_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(cast(l_quantity AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(cast(l_extendedprice AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_price,
+       CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -173,8 +173,8 @@ ORDER BY event_type
 
 _SQL_QUERIES["count_if_threshold"] = """
 SELECT event_type,
-       count_if(value > 100.0) AS n_big,
-       count_if(value <= 100.0) AS n_small
+       CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
+       CAST(count_if(value <= 100.0) AS BIGINT) AS n_small
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -212,20 +212,30 @@ ORDER BY bucket
 """
 
 _SQL_QUERIES["orders_by_month"] = """
-SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        count(*) AS n,
-       round(sum(cast(o_totalprice AS DECIMAL(18, 4))), 2) AS revenue
+       CAST(round(sum(cast(o_totalprice AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY month
 ORDER BY month
 """
 
+# avg at cent precision via pure integer arithmetic: per-row cents are
+# exact BIGINTs, the mean is half-up integer division on a positivity-
+# shifted sum (so floor-div and truncate-div agree) — no engine-specific
+# decimal/double division semantics can flip a rounding boundary.
 _SQL_QUERIES["dim_join_rollup"] = """
+WITH c AS (
+  SELECT r_name, n_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000 AS cents_pos
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
 SELECT r_name, n_name, count(*) AS n_cust,
-       round(avg(c_acctbal), 2) AS avg_bal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
+       CAST((sum(cents_pos) * 2 + count(*)) // (count(*) * 2) - 1000000 AS DOUBLE)
+         / 100 AS avg_bal
+FROM c
 GROUP BY r_name, n_name
 ORDER BY r_name, n_name
 """
@@ -233,9 +243,10 @@ ORDER BY r_name, n_name
 _SQL_QUERIES["revenue_by_nation"] = """
 SELECT n_name,
        -- decimal accumulation: exact and summation-order independent,
-       -- so Spark and DuckDB agree to the cent
-       round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))), 2)
-         AS revenue,
+       -- so Spark and DuckDB agree to the cent; terminal DOUBLE cast so
+       -- the output type width matches across engines
+       CAST(round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))), 2)
+            AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -293,11 +304,11 @@ FROM documents
 _SQL_QUERIES["text_quality"] = """
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(length(text)), 2) AS avg_chars,
-       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
-       round(avg(CASE WHEN length(text) > 0
+       CAST(round(avg(length(text)), 2) AS DOUBLE) AS avg_chars,
+       CAST(round(avg(len(string_split(text, ' '))), 2) AS DOUBLE) AS avg_tokens,
+       CAST(round(avg(CASE WHEN length(text) > 0
                  THEN len(string_split(text, ' ')) * 1.0 / length(text)
-                 ELSE 0 END), 4) AS token_density
+                 ELSE 0 END), 4) AS DOUBLE) AS token_density
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -305,8 +316,8 @@ ORDER BY lang
 
 _SQL_QUERIES["token_counts"] = """
 SELECT source,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       max(len(string_split(text, ' '))) AS max_tokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -324,7 +335,7 @@ LIMIT 30
 
 _SQL_QUERIES["lang_id_heuristic"] = """
 SELECT lang,
-       count_if(length(text) - length(replace(text, 'e', '')) > 5) AS n_e_heavy,
+       CAST(count_if(length(text) - length(replace(text, 'e', '')) > 5) AS BIGINT) AS n_e_heavy,
        count(*) AS n
 FROM documents
 GROUP BY lang
@@ -352,7 +363,7 @@ inter AS (
   FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
   GROUP BY g1.doc_id, g2.doc_id
 )
-SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+SELECT a, b, CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 ORDER BY jaccard DESC, a, b
@@ -461,19 +472,19 @@ ORDER BY event_type
     "text_quality": """
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(length(text)), 2) AS avg_chars,
-       round(avg(size(split(text, ' '))), 2) AS avg_tokens,
-       round(avg(CASE WHEN length(text) > 0
+       CAST(round(avg(length(text)), 2) AS DOUBLE) AS avg_chars,
+       CAST(round(avg(size(split(text, ' '))), 2) AS DOUBLE) AS avg_tokens,
+       CAST(round(avg(CASE WHEN length(text) > 0
                  THEN size(split(text, ' ')) * 1.0 / length(text)
-                 ELSE 0 END), 4) AS token_density
+                 ELSE 0 END), 4) AS DOUBLE) AS token_density
 FROM documents
 GROUP BY lang
 ORDER BY lang
 """,
     "token_counts": """
 SELECT source,
-       sum(size(split(text, ' '))) AS total_tokens,
-       max(size(split(text, ' '))) AS max_tokens
+       CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(max(size(split(text, ' '))) AS BIGINT) AS max_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -507,7 +518,7 @@ inter AS (
   FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
   GROUP BY g1.doc_id, g2.doc_id
 )
-SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+SELECT a, b, CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 ORDER BY jaccard DESC, a, b
@@ -554,6 +565,29 @@ SELECT label,
 FROM embeddings
 GROUP BY label
 ORDER BY label
+""",
+    "dim_join_rollup": """
+WITH c AS (
+  SELECT r_name, n_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000 AS cents_pos
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name, n_name, count(*) AS n_cust,
+       CAST((sum(cents_pos) * 2 + count(*)) div (count(*) * 2) - 1000000 AS DOUBLE)
+         / 100 AS avg_bal
+FROM c
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    "orders_by_month": """
+SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS month,
+       count(*) AS n,
+       CAST(round(sum(cast(o_totalprice AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY month
+ORDER BY month
 """,
     "semi_anti_join": """
 SELECT count(*) AS n_orders_no_lineitem
