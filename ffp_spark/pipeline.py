@@ -211,11 +211,31 @@ def run_snapshot(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
     parsed.cache()
+    try:
+        return _run_snapshot_body(
+            spark, pages, parsed, out_root, snapshot_id, n_parts, n_buckets,
+            prior_lineage, prior_seen, incremental_from,
+        )
+    finally:
+        parsed.unpersist()
 
+
+def _run_snapshot_body(
+    spark: SparkSession,
+    pages: DataFrame,
+    parsed: DataFrame,
+    out_root: str,
+    snapshot_id: int,
+    n_parts: int,
+    n_buckets: int,
+    prior_lineage: Optional[DataFrame],
+    prior_seen: Optional[DataFrame],
+    incremental_from: Optional[int],
+) -> dict[str, Any]:
     canon = link_and_canonicalize(parsed)
     triples, nodes, edges = materialize_graph(parsed, canon, snapshot_id, n_parts)
 
-    lineage = (
+    lineage_new = (
         parsed.groupBy("part_id")
         .agg(
             F.count("*").alias("n_pages"),
@@ -232,13 +252,17 @@ def run_snapshot(
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .withColumn("status", F.lit("done"))
     )
+    lineage = lineage_new
     if prior_lineage is not None:
-        lineage = lineage.unionByName(prior_lineage.select(*lineage.columns))
+        lineage = lineage_new.unionByName(prior_lineage.select(*lineage_new.columns))
 
     bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
 
+    # page count from the (cached) parsed lineage aggregate — not a
+    # separate todo.count() job over the raw pages source
+    n_pages_run = lineage_new.agg(F.sum("n_pages").alias("p")).collect()[0].p or 0
     stats = {
-        "n_pages": todo.count(),
+        "n_pages": int(n_pages_run),
         "errors": {r.error_class: r["count"] for r in error_histogram(parsed).collect()},
     }
 
@@ -253,11 +277,22 @@ def run_snapshot(
         edges = edges.unionByName(parent_edges.select(*edges.columns)).dropDuplicates(["src", "dst", "pred"])
 
     # resume merge: a re-commit of the same snapshot keeps work already
-    # done by the interrupted run (its partitions were anti-joined away
-    # above, so their rows exist only in the prior committed tables)
+    # done by the interrupted run.  Ownership is by PARTITION: previously
+    # committed triples are kept only for parts the committed lineage
+    # marks done; this run re-parsed every other part.  The two sets are
+    # disjoint by construction, so the union cannot double-count — even
+    # if a prior run crashed after committing triples but before lineage
+    # (then no parts are "done", the stale triples contribute nothing,
+    # and this run's full re-parse wins).
     if prior_lineage is not None and snapshot_id in snapshots_of(out_root, "triples"):
-        prev_triples = read_snapshot(spark, out_root, "triples", snapshot_id)
+        done_parts = (
+            prior_lineage.filter(F.col("status") == "done").select("part_id").distinct()
+        )
+        prev_triples = read_snapshot(spark, out_root, "triples", snapshot_id).join(
+            done_parts, "part_id", "left_semi"
+        )
         triples = triples.unionByName(prev_triples.select(*triples.columns))
+        # nodes/edges are not part-keyed; idempotent by dropDuplicates
         prev_nodes = read_snapshot(spark, out_root, "nodes", snapshot_id).drop("bucket")
         nodes = nodes.unionByName(prev_nodes.select(*nodes.columns)).dropDuplicates(
             ["node_id"]
@@ -273,19 +308,22 @@ def run_snapshot(
         "bucket", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int")
     )
 
+    # commit protocol: data tables first, lineage LAST — the lineage
+    # commit is the marker that this snapshot's work is complete.  A
+    # crash anywhere earlier leaves lineage without "done" rows, so a
+    # re-run re-derives everything idempotently (see resume merge above).
     m_triples = write_snapshot(
         triples, out_root, "triples", snapshot_id, partition_by=["part_id"]
     )
     m_nodes = write_snapshot(nodes_b, out_root, "nodes", snapshot_id, partition_by=["bucket"])
     m_edges = write_snapshot(edges_b, out_root, "edges", snapshot_id, partition_by=["bucket"])
-    m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     # compact url registry: what this snapshot has seen (drives the
     # incremental anti-join for the NEXT snapshot, K9)
     seen = pages.select("url", "part_id")
     if prior_seen is not None:
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
     write_snapshot(seen, out_root, "pages_seen", snapshot_id)
-    parsed.unpersist()
+    m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     return {
         "snapshot_id": snapshot_id,
         "pages": stats["n_pages"],

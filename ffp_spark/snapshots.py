@@ -26,11 +26,26 @@ import shutil
 from pathlib import Path
 from typing import Any, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 
 def _table_dir(root: str | Path, name: str) -> Path:
     return Path(root) / name
+
+
+def _fsync_replace(tmp: Path, final: Path) -> None:
+    """fsync file contents, rename into place, fsync the directory entry."""
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.replace(tmp, final)
+    dfd = os.open(final.parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def write_snapshot(
@@ -48,13 +63,16 @@ def write_snapshot(
     final = tdir / f"snap-{snapshot_id}"
     if tmp.exists():
         shutil.rmtree(tmp)
-    writer = df.write.mode("overwrite")
+    # row count captured DURING the write via an observed metric — no
+    # post-write re-read (at 100 TB that second scan of the triples
+    # table per snapshot was the commit path's scale-killer)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = observed.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp))
-
-    # explicit schema: an all-empty write leaves no files to infer from
-    n_rows = df.sparkSession.read.schema(df.schema).parquet(str(tmp)).count()
+    n_rows = int(obs.get["n"])
     manifest = {
         "table": table,
         "snapshot_id": snapshot_id,
@@ -73,11 +91,11 @@ def write_snapshot(
     mpath = tdir / f"manifest-{snapshot_id}.json"
     mtmp = tdir / f"_manifest-{snapshot_id}.json.tmp"
     mtmp.write_text(json.dumps(manifest, indent=2))
-    os.replace(mtmp, mpath)
+    _fsync_replace(mtmp, mpath)
 
     ctmp = tdir / "_CURRENT.tmp"
     ctmp.write_text(str(snapshot_id))
-    os.replace(ctmp, tdir / "CURRENT")
+    _fsync_replace(ctmp, tdir / "CURRENT")
     return manifest
 
 

@@ -42,6 +42,26 @@ class TestSnapshots:
         assert not list(tdir.glob("_tmp-*"))
         assert (tdir / "CURRENT").read_text().strip() == "7"
 
+    def test_commit_is_single_scan(self, spark, tmp_path):
+        # row count comes from df.observe during the write — exactly one
+        # Spark job per committed table, no post-write re-read
+        sc = spark.sparkContext
+        df = spark.range(1000).withColumn("k", F.col("id") % 3)
+        sc.setJobGroup("ws-one-scan", "write_snapshot single-scan check")
+        try:
+            m = write_snapshot(df, tmp_path, "one", snapshot_id=1)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert m["row_count"] == 1000
+        jobs = sc.statusTracker().getJobIdsForGroup("ws-one-scan")
+        assert len(jobs) == 1
+
+    def test_commit_empty_dataframe(self, spark, tmp_path):
+        df = spark.range(5).filter("id < 0").withColumn("k", F.col("id") % 3)
+        m = write_snapshot(df, tmp_path, "empty", snapshot_id=1)
+        assert m["row_count"] == 0
+        assert read_snapshot(spark, tmp_path, "empty").count() == 0
+
     def test_remaining_pages_anti_join(self, spark):
         pages = add_part_id(synth_pages(spark, 100), n_parts=8)
         lineage = spark.createDataFrame(
@@ -82,6 +102,41 @@ class TestPipeline:
             lineage.agg(F.sum("n_pages").alias("s")).collect()[0].s
             == full["pages"]
         )
+
+    def test_resume_after_crash_before_lineage_commit(self, spark, tmp_path, monkeypatch):
+        """A crash between the data commits and the lineage commit must not
+        double triples on re-run (the part-ownership merge: with no 'done'
+        lineage rows, the stale committed triples contribute nothing)."""
+        import ffp_spark.pipeline as P
+        from ffp_spark.snapshots import write_snapshot as real_ws
+
+        # snapshot 1 commits fully, so a lineage TABLE exists — the trap
+        # that made the old `prior_lineage is not None` gate fire
+        run_snapshot(spark, synth_pages(spark, 60, seed=3), str(tmp_path), snapshot_id=1, n_parts=8)
+        ref = run_snapshot(
+            spark, synth_pages(spark, 120, seed=4), str(tmp_path / "ref"), snapshot_id=2, n_parts=8
+        )
+
+        class Boom(RuntimeError):
+            pass
+
+        def crashing_ws(df, root, table, snapshot_id, **kw):
+            if table == "lineage" and snapshot_id == 2:
+                raise Boom("simulated crash before lineage commit")
+            return real_ws(df, root, table, snapshot_id, **kw)
+
+        monkeypatch.setattr(P, "write_snapshot", crashing_ws)
+        with pytest.raises(Boom):
+            run_snapshot(spark, synth_pages(spark, 120, seed=4), str(tmp_path), snapshot_id=2, n_parts=8)
+        # snapshot-2 triples are committed, lineage is not
+        assert 2 in snapshots_of(tmp_path, "triples")
+        assert 2 not in snapshots_of(tmp_path, "lineage")
+
+        monkeypatch.setattr(P, "write_snapshot", real_ws)
+        rep = run_snapshot(spark, synth_pages(spark, 120, seed=4), str(tmp_path), snapshot_id=2, n_parts=8)
+        assert rep["triples"] == ref["triples"]  # not doubled
+        t = read_snapshot(spark, tmp_path, "triples", snapshot_id=2)
+        assert t.count() == ref["triples"]
 
     def test_incremental_snapshot_processes_only_new_urls(self, spark, tmp_path):
         from ffp_spark.snapshots import read_manifest
