@@ -620,26 +620,72 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash bucketing via xxhash64 of tokens (rows-only)."""
+    """60-bit SimHash code histogram — one JVM projection, no explode.
+    Uses the md5-derived token hash so DuckDB reproduces the exact codes."""
+    from ffp_spark.textops import MD5_60BIT_HASH, simhash
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).filter("tok <> ''")
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        F.xxhash64("tok").alias("h"),
-    ).withColumn(
-        "bitval", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    sh = simhash(docs, n_bits=60, hash_expr=MD5_60BIT_HASH)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "simhash")
+        .limit(50)
     )
-    sim = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("bitval").alias("s"))
-        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("b * shiftleft(1L, bit)")).alias("simhash"))
+
+
+# DuckDB replays the exact SimHash arithmetic (token md5-60bit hash,
+# per-bit +-1 votes, positive-vote bit set) at eval scale via explode.
+_SIMHASH_ORACLE_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+_ORACLE_ONLY["simhash_buckets"] = _SIMHASH_ORACLE_CTE + """
+SELECT simhash, count(*) AS n
+FROM sh GROUP BY simhash ORDER BY n DESC, simhash LIMIT 50
+"""
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming <= 3 via 4-band bucket join (exact by
+    pigeonhole, never all-pairs); oracle brute-forces all pairs."""
+    from ffp_spark.textops import MD5_60BIT_HASH, simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_near_dups(
+        docs, max_hamming=3, n_bits=60, n_bands=4, hash_expr=MD5_60BIT_HASH
     )
-    return sim.groupBy("simhash").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "simhash").limit(50)
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("a", "b")
+
+
+_ORACLE_ONLY["simhash_near_dups"] = _SIMHASH_ORACLE_CTE + """
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+ORDER BY a, b
+"""
 
 
 def _q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_published_days"] = _q_kg_published_days
     out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates
     out["simhash_buckets"] = _q_simhash_buckets
+    out["simhash_near_dups"] = _q_simhash_near_dups
     out["ann_lsh_bucketed"] = _q_ann_lsh_bucketed
     out["ann_ivf"] = _q_ann_ivf
     out["lang_id_confusion"] = _q_lang_id_confusion

@@ -26,9 +26,34 @@ def char_bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", F.explode(grams).alias("bigram"))
 
 
-def train_lang_model(docs: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+def doc_bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bigram, cnt) — the per-character explode collapses to one row
+    per DISTINCT (doc, bigram) before anything downstream touches it
+    (Spark's partial hash aggregation combines map-side, so shuffled
+    rows are bounded by distinct pairs, not characters)."""
+    grams = char_bigrams(docs.select(id_col, text_col), text_col)
+    return grams.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+
+
+def train_lang_model(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """(lang, bigram, log-ish weight): P(bigram|lang) with add-one
-    smoothing folded into a relative-frequency weight."""
+    smoothing folded into a relative-frequency weight.
+
+    The groupBy partial-aggregates map-side, so the shuffle is bounded by
+    distinct (lang, bigram) per partition (~|langs| x |alphabet|^2), not
+    by characters.  At corpus scale the bigram distribution converges
+    long before the full data is seen — pass ``sample_fraction`` to train
+    on a deterministic sample instead of every character of 100 TB."""
+    if sample_fraction is not None:
+        docs = docs.sample(fraction=sample_fraction, seed=seed)
     grams = char_bigrams(docs, text_col).groupBy(lang_col, "bigram").count()
     totals = grams.groupBy(lang_col).agg(F.sum("count").alias("total"))
     return (
@@ -45,12 +70,17 @@ def predict_lang(
     docs: DataFrame, model: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """argmax_lang sum of bigram weights; the model is broadcast (it is
-    tiny: |langs| x |alphabet|^2 rows)."""
-    grams = char_bigrams(docs.select(id_col, text_col), text_col)
+    tiny: |langs| x |alphabet|^2 rows).
+
+    Scoring joins per-doc bigram COUNTS (one row per distinct (doc,
+    bigram)) against the model, so the broadcast-join probe stream and
+    the score shuffle are both ~doc_len/alphabet smaller than the old
+    one-row-per-character shape; score = sum(w * cnt) is identical."""
+    counts = doc_bigram_counts(docs, id_col=id_col, text_col=text_col)
     scored = (
-        grams.join(F.broadcast(model), "bigram")
+        counts.join(F.broadcast(model), "bigram")
         .groupBy(id_col, "model_lang")
-        .agg(F.sum("w").alias("score"))
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("score"))
     )
     return scored.groupBy(id_col).agg(
         F.max_by("model_lang", "score").alias("predicted_lang")
@@ -73,6 +103,117 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (n_tokens / F.greatest(n_chars, F.lit(1))).alias("token_density"),
         (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
         (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+# cross-engine 60-bit token hash (md5 prefix — identical in DuckDB via
+# CAST('0x'||substr(md5(t),1,15) AS BIGINT)); `t` is the lambda variable
+# bound by the transform() in simhash()
+MD5_60BIT_HASH = "cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    n_bits: int = 64,
+    hash_expr: str | None = None,
+) -> DataFrame:
+    """``n_bits``-bit SimHash over whitespace tokens in ONE JVM
+    projection — no row explosion (the old shape multiplied the token
+    stream x16 through an explode and still only produced 16 bits).
+
+    Per token h = hash(token); per bit b the doc accumulates a +-1 vote
+    by h's bit b; the final code sets bit b iff the vote is positive.
+    All higher-order functions (transform/aggregate/zip_with), fully
+    codegen-able, CPU ~ tokens x n_bits with zero shuffle.
+
+    ``hash_expr`` defaults to xxhash64 (fastest).  Pass ``MD5_60BIT_HASH``
+    with ``n_bits=60`` for a value DuckDB can reproduce exactly.
+    """
+    if not 1 <= n_bits <= 64:
+        raise ValueError("n_bits must be in [1, 64]")
+    hexpr = hash_expr or "xxhash64(t)"
+    expr = f"""
+      aggregate(
+        transform(filter(split(lower({text_col}), ' '), t -> t != ''),
+                  t -> {hexpr}),
+        array_repeat(0, {n_bits}),
+        (acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}),
+                             (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1
+                                            THEN 1 ELSE -1 END),
+        votes -> aggregate(sequence(0, {n_bits - 1}), 0L,
+                           (s, b) -> s + CASE WHEN element_at(votes, b + 1) > 0
+                                           THEN shiftleft(1L, b) ELSE 0L END)
+      )
+    """
+    return docs.withColumn(out_col, F.expr(expr))
+
+
+def simhash_bands(
+    df: DataFrame, n_bands: int = 4, bits_per_band: int = 16, col: str = "simhash"
+) -> DataFrame:
+    """One row per (row, band_id, band_val): contiguous bit slices of the
+    SimHash code.  By pigeonhole, two codes within Hamming distance
+    ``n_bands - 1`` share at least one identical band — the bands are the
+    LSH bucket keys for candidate retrieval."""
+    mask = (1 << bits_per_band) - 1
+    return df.select(
+        "*",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" j -> shiftright({col}, j * {bits_per_band}) & {mask}L)"
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_bands: int = 4,
+    hash_expr: str | None = None,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) <= max_hamming, found
+    via band-bucket self-join — never all pairs.  Exact (not just
+    high-recall) as long as ``max_hamming < n_bands``: pigeonhole
+    guarantees every qualifying pair shares a band bucket."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs max_hamming < n_bands (pigeonhole)")
+    sh = simhash(docs, text_col=text_col, n_bits=n_bits, hash_expr=hash_expr).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    banded = simhash_bands(sh, n_bands=n_bands, bits_per_band=n_bits // n_bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("sh_a", "sh_b")
     )
 
 

@@ -8,6 +8,8 @@ from ffp_spark.textops import (
     predict_lang,
     quality_features,
     rolling_fingerprint,
+    simhash,
+    simhash_near_dups,
     train_lang_model,
 )
 
@@ -63,6 +65,28 @@ class TestTextOps:
         # is low — but the classifier must beat the 1/5 chance rate
         assert acc_row.acc > 0.2, acc_row.acc
 
+    def test_predict_lang_matches_per_character_scoring(self, spark):
+        # the count-weighted scoring must equal the old one-row-per-
+        # character formulation: score = sum over characters of w
+        from ffp_spark.textops import char_bigrams
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50).cache()
+        model = train_lang_model(docs)
+        fast = predict_lang(docs, model)
+        grams = char_bigrams(docs.select("doc_id", "text"))
+        slow = (
+            grams.join(F.broadcast(model), "bigram")
+            .groupBy("doc_id", "model_lang")
+            .agg(F.sum("w").alias("score"))
+            .groupBy("doc_id")
+            .agg(F.max_by("model_lang", "score").alias("predicted_lang"))
+        )
+        diff = fast.join(slow.withColumnRenamed("predicted_lang", "p2"), "doc_id").filter(
+            "predicted_lang <> p2"
+        )
+        assert diff.count() == 0
+        docs.unpersist()
+
     def test_quality_features_ranges(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         feats = quality_features(docs)
@@ -83,3 +107,65 @@ class TestTextOps:
         rows = {r.doc_id: r.fingerprint for r in rolling_fingerprint(docs).collect()}
         assert rows[1] == rows[2]
         assert rows[1] != rows[3]
+
+
+class TestSimHash:
+    def _mutated_corpus(self, spark):
+        # 10 base docs of 60 tokens; each gets a near-dup with 2 tokens
+        # swapped (tiny bit flips) and the far set shares no vocabulary
+        base = [
+            (i, " ".join(f"w{i}t{j}" for j in range(60))) for i in range(10)
+        ]
+        near = [
+            (100 + i, " ".join(
+                (f"MUT{j}" if j in (5, 40) else f"w{i}t{j}") for j in range(60)
+            ))
+            for i in range(10)
+        ]
+        far = [(200 + i, " ".join(f"zz{i}q{j}" for j in range(60))) for i in range(5)]
+        return spark.createDataFrame(base + near + far, "doc_id int, text string")
+
+    def test_simhash_is_64_bit_and_deterministic(self, spark):
+        docs = self._mutated_corpus(spark)
+        a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        assert a == b
+        # codes use the full width: some doc sets a bit above 2^32
+        assert any(abs(v) > (1 << 32) for v in a.values())
+
+    def test_near_dups_recovers_mutated_pairs(self, spark):
+        # 2/60 token swaps -> expected Hamming ~5 of 64; 16 narrow bands
+        # keep the retrieval exact (pigeonhole) up to Hamming 15
+        docs = self._mutated_corpus(spark)
+        pairs = {
+            (r.a, r.b)
+            for r in simhash_near_dups(docs, max_hamming=10, n_bands=16).collect()
+        }
+        for i in range(10):
+            assert (i, 100 + i) in pairs, f"near-dup pair ({i},{100+i}) missed"
+        # unrelated docs don't pair up
+        assert not any(a >= 200 or b >= 200 for a, b in pairs)
+
+    def test_band_join_equals_bruteforce_hamming(self, spark):
+        # pigeonhole exactness: band-bucket retrieval at max_hamming=3 and
+        # 4 bands finds EXACTLY the brute-force pair set
+        docs = self._mutated_corpus(spark)
+        got = {(r.a, r.b, r.hamming) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+        sh = simhash(docs).select("doc_id", "simhash")
+        a, b = sh.alias("a"), sh.alias("b")
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("a"),
+                F.col("b.doc_id").alias("b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+            .filter("hamming <= 3")
+        )
+        want = {(r.a, r.b, r.hamming) for r in brute.collect()}
+        assert got == want
+
+    def test_simhash_plan_has_no_explode(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, plan  # no explode in the code path

@@ -81,3 +81,28 @@ def test_salted_join_broadcasts_small_side(spark):
     plan = _plan(salted_broadcast_join(big, small, "key"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lang_scoring_shuffles_counts_not_characters(spark):
+    # per-doc bigram counts partial-aggregate map-side BEFORE any
+    # exchange: shuffled rows ∝ distinct (doc, bigram), not characters
+    from ffp_spark.textops import doc_bigram_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(doc_bigram_counts(docs))
+    assert "partial_count" in plan and plan.count("HashAggregate") >= 2, plan
+
+
+def test_snapshot_commit_writes_without_rescan(spark, tmp_path):
+    # the commit plan carries the observe metric collector; no second
+    # parquet scan appears anywhere in the committed table's lineage
+    from ffp_spark.snapshots import write_snapshot
+
+    sc = spark.sparkContext
+    df = spark.range(500).withColumn("k", F.col("id") % 5)
+    sc.setJobGroup("plan-ws", "commit single scan")
+    try:
+        write_snapshot(df, tmp_path, "t", snapshot_id=1)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("plan-ws")) == 1
