@@ -689,34 +689,61 @@ ORDER BY a, b
 
 
 def _q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for similarity search: random-hyperplane LSH buckets,
-    then exact cosine only within the query's bucket (rows-only)."""
+    """Scale path for similarity search: random-hyperplane LSH, exact
+    cosine ONLY within the query's bucket (ann.lsh_topk — the real
+    search path, not a bucket histogram).  The oracle replays the
+    deterministic planes as SQL literals."""
+    from ffp_spark.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
+    q = _query_vec(spark, sf_dir)
+    # 4 planes -> 16 buckets: eval corpora are small, wider buckets keep
+    # the top-k meaningful while exercising the same bucketed code path
+    return lsh_topk(emb, q, k=10, n_planes=4, seed=7).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def _lsh_planes_literal(n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """The exact plane matrix ann.hyperplane_buckets derives from its
+    seed, rendered as a DuckDB nested-list literal (repr keeps full
+    float64 precision, so both engines see identical planes)."""
     import numpy as np
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    rng = np.random.RandomState(7)
-    planes = rng.randn(8, 64).tolist()
-    planes_col = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in planes])
-    withb = emb.withColumn(
-        "bucket",
-        F.aggregate(
-            F.transform(
-                planes_col,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(F.col("embedding").cast("array<double>"), p, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, b: acc * 2 + b,
-        ),
-    )
-    return withb.groupBy("bucket").agg(F.count("*").alias("n")).orderBy("bucket")
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    ) + "]"
+
+
+def _ann_lsh_oracle(n_planes: int = 4) -> str:
+    return f"""
+WITH ps AS (SELECT {_lsh_planes_literal(n_planes=n_planes)} AS planes),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_sum([CASE WHEN list_dot_product(embedding::DOUBLE[], planes[i]) > 0
+                   THEN (1 << ({n_planes} - i)) ELSE 0 END
+                   for i in range(1, {n_planes + 1})]) AS bucket
+  FROM embeddings, ps
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, (SELECT qv FROM q))
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+             4) AS cos_sim
+FROM e
+WHERE vec_id <> 0 AND bucket = (SELECT qbucket FROM q)
+ORDER BY list_dot_product(v, (SELECT qv FROM q))
+         / (sqrt(list_dot_product(v, v))
+            * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
+_ORACLE_ONLY["ann_lsh_bucketed"] = _ann_lsh_oracle()
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -726,8 +753,10 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic centroids + one Lloyd step,
-    nprobe=2 cells searched exactly (rows-only; the scale path for
-    similarity search)."""
+    nprobe=2 cells searched exactly.  Rows-only by design: the Lloyd
+    step's float centroid means aren't bit-reproducible across engines,
+    so cell assignments can't be value-oracled; recall vs the exact
+    knn_bruteforce oracle is asserted in tests/test_ann_textops.py."""
     from ffp_spark.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
@@ -739,7 +768,9 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram language classifier (train+predict all JVM-side):
-    actual vs predicted confusion counts (rows-only)."""
+    actual vs predicted confusion counts.  Integer micro-log weights
+    make the scores exact BIGINTs, so DuckDB replays the whole
+    train+predict pipeline value-for-value."""
     from ffp_spark.textops import predict_lang, train_lang_model
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -752,6 +783,41 @@ def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "predicted_lang")
     )
+
+
+_ORACLE_ONLY["lang_id_confusion"] = """
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest([substr(lower(text), i, 2)
+                 for i in range(1, greatest(length(text) - 1, 1) + 1)]) AS bigram
+  FROM documents
+),
+counts AS (SELECT lang AS model_lang, bigram, count(*) AS c FROM grams GROUP BY 1, 2),
+totals AS (SELECT model_lang, sum(c) AS total FROM counts GROUP BY 1),
+model AS (
+  SELECT model_lang, bigram,
+         CAST(round(ln((c + 1.0) / (total + 1000.0)) * 1000000, 0) AS BIGINT) AS w
+  FROM counts JOIN totals USING (model_lang)
+),
+doc_counts AS (SELECT doc_id, bigram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+scores AS (
+  SELECT doc_id, model_lang, sum(w * cnt) AS score
+  FROM doc_counts JOIN model USING (bigram)
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, model_lang AS predicted_lang
+  FROM (SELECT doc_id, model_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, model_lang DESC) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT d.lang, p.predicted_lang, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
 
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,12 +56,17 @@ def train_lang_model(
         docs = docs.sample(fraction=sample_fraction, seed=seed)
     grams = char_bigrams(docs, text_col).groupBy(lang_col, "bigram").count()
     totals = grams.groupBy(lang_col).agg(F.sum("count").alias("total"))
+    # weights quantized to integer micro-logs: downstream scores are
+    # BIGINT sums — exact, summation-order independent, and reproducible
+    # by any engine (float log-prob sums drift across engines/partitions)
     return (
         grams.join(totals, lang_col)
         .select(
             F.col(lang_col).alias("model_lang"),
             "bigram",
-            F.log((F.col("count") + 1.0) / (F.col("total") + 1000.0)).alias("w"),
+            F.round(
+                F.log((F.col("count") + 1.0) / (F.col("total") + 1000.0)) * 1e6, 0
+            ).cast("long").alias("w"),
         )
     )
 
@@ -82,8 +87,9 @@ def predict_lang(
         .groupBy(id_col, "model_lang")
         .agg(F.sum(F.col("w") * F.col("cnt")).alias("score"))
     )
+    # struct ordering breaks score ties deterministically (max lang wins)
     return scored.groupBy(id_col).agg(
-        F.max_by("model_lang", "score").alias("predicted_lang")
+        F.max_by("model_lang", F.struct("score", "model_lang")).alias("predicted_lang")
     )
 
 

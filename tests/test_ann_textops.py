@@ -79,7 +79,11 @@ class TestTextOps:
             .groupBy("doc_id", "model_lang")
             .agg(F.sum("w").alias("score"))
             .groupBy("doc_id")
-            .agg(F.max_by("model_lang", "score").alias("predicted_lang"))
+            .agg(
+                F.max_by("model_lang", F.struct("score", "model_lang")).alias(
+                    "predicted_lang"
+                )
+            )
         )
         diff = fast.join(slow.withColumnRenamed("predicted_lang", "p2"), "doc_id").filter(
             "predicted_lang <> p2"
