@@ -70,6 +70,68 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
     )
 
 
+def resolve_meta_refresh(parsed: DataFrame, pages: DataFrame) -> DataFrame:
+    """Resolve meta-refresh redirects against the at-rest PAGES table.
+
+    Offline analogue of the reference's redirect retry
+    (/root/reference/src/fastfeedparser/main.py:877-893): a row whose
+    ``error_class='meta_refresh'`` carries its target in
+    ``error='meta_refresh:<url>'``.  The targets (distinct, typically a
+    tiny fraction of the corpus) are semi-joined against PAGES, the
+    matching target pages are parsed ONCE, and each redirecting row is
+    rewritten with its target's parse result — keyed by the ORIGINAL
+    url, exactly like the reference returning the redirected parse for
+    the requested url.  Targets missing from the corpus keep their
+    meta_refresh error row.
+
+    Scale: the only full scan is the semi-join probe of PAGES (no
+    shuffle of the big side — the distinct target set is broadcast);
+    the re-parse touches only matched target pages.
+    """
+    redirects = parsed.filter(F.col("error_class") == "meta_refresh").select(
+        F.col("url").alias("orig_url"),
+        F.col("warc_ts").alias("orig_ts"),
+        F.col("lang").alias("orig_lang"),
+        F.col("error").alias("orig_error"),
+        F.expr("substring(error, 14)").alias("target_url"),
+    )
+    targets = redirects.select(F.col("target_url").alias("url")).distinct()
+    # with AQE on, an empty broadcast build side collapses the semi-join
+    # to an empty relation — the common no-redirects case never scans
+    # PAGES at all
+    target_pages = pages.join(F.broadcast(targets), "url", "left_semi")
+    parsed_targets = parse_pages(target_pages).select(
+        F.col("url").alias("target_url"),
+        F.col("feed_type").alias("t_feed_type"),
+        F.col("feed").alias("t_feed"),
+        F.col("entries").alias("t_entries"),
+        F.col("error").alias("t_error"),
+        F.col("error_class").alias("t_error_class"),
+        F.lit(True).alias("t_hit"),
+    ).cache()  # tiny; keeps downstream jobs from re-scanning PAGES
+    resolved = (
+        redirects.join(F.broadcast(parsed_targets), "target_url", "left")
+        .select(
+            F.col("orig_url").alias("url"),
+            F.col("orig_ts").alias("warc_ts"),
+            F.col("orig_lang").alias("lang"),
+            F.when(F.col("t_hit"), F.col("t_feed_type")).alias("feed_type"),
+            F.when(F.col("t_hit"), F.col("t_feed")).alias("feed"),
+            F.when(F.col("t_hit"), F.col("t_entries")).alias("entries"),
+            F.when(F.col("t_hit"), F.col("t_error"))
+            .otherwise(F.col("orig_error"))
+            .alias("error"),
+            F.when(F.col("t_hit"), F.col("t_error_class"))
+            .otherwise(F.lit("meta_refresh"))
+            .alias("error_class"),
+        )
+    )
+    kept = parsed.filter(
+        F.col("error_class").isNull() | (F.col("error_class") != "meta_refresh")
+    )
+    return kept.select(*parsed.columns).unionByName(resolved.select(*parsed.columns))
+
+
 def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """Mentions -> (norm, canonical norm) mapping via LSH + CC.
 
@@ -183,6 +245,7 @@ def run_snapshot(
     resume: bool = True,
     n_buckets: int = 16,
     incremental_from: Optional[int] = None,
+    resolve_redirects: bool = True,
 ) -> dict[str, Any]:
     """Process one snapshot of the PAGES table into committed KG tables.
 
@@ -207,17 +270,21 @@ def run_snapshot(
 
     # explicit url-hash partitioning before the Python stage (K11)
     todo = todo.repartition(n_parts, "part_id")
-    parsed = parse_pages(todo).withColumn(
+    # cache the RAW parse (the expensive Python stage) — the redirect
+    # resolution union re-reads this cache, never re-runs the parse
+    raw = parse_pages(todo)
+    raw.cache()
+    parsed = resolve_meta_refresh(raw, pages) if resolve_redirects else raw
+    parsed = parsed.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
-    parsed.cache()
     try:
         return _run_snapshot_body(
             spark, pages, parsed, out_root, snapshot_id, n_parts, n_buckets,
             prior_lineage, prior_seen, incremental_from,
         )
     finally:
-        parsed.unpersist()
+        raw.unpersist()
 
 
 def _run_snapshot_body(

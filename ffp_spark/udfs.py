@@ -103,6 +103,61 @@ def _classify_error(exc: Exception) -> str:
     return "other"
 
 
+_ZLIB_SECOND = (0x01, 0x5E, 0x9C, 0xDA)
+
+
+def _maybe_decompress(payload: bytes, enc: Optional[str]) -> bytes:
+    """Stored-payload decompression, mirroring the reference's
+    Content-Encoding handling (main.py:443-475) for at-rest pages.
+
+    An explicit ``content_encoding`` column value wins; otherwise magic
+    bytes are sniffed (gzip 1f 8b; zlib 78 xx with a valid header
+    checksum — the FCHECK field makes the two-byte header a multiple of
+    31, so text false-positives are excluded).  Raises ValueError on
+    a declared encoding that fails to decompress (callers turn that
+    into an error ROW, never a task failure)."""
+    import gzip
+    import zlib
+
+    enc = (enc or "").lower()
+    if enc in ("gzip", "x-gzip") or (not enc and payload[:2] == b"\x1f\x8b"):
+        try:
+            return gzip.decompress(payload)
+        except Exception as exc:
+            raise ValueError(f"failed to decompress gzip payload: {exc}") from exc
+    if enc == "deflate":
+        try:
+            return zlib.decompress(payload)
+        except zlib.error:
+            try:
+                return zlib.decompress(payload, -zlib.MAX_WBITS)
+            except Exception as exc:
+                raise ValueError(f"failed to decompress deflate payload: {exc}") from exc
+    if enc == "br":
+        try:
+            import brotli  # not shipped in this sandbox; gate behind import
+        except ImportError as exc:
+            raise ValueError(
+                "Received brotli-compressed response but 'brotli' is not installed"
+            ) from exc
+        try:
+            return brotli.decompress(payload)
+        except Exception as exc:
+            raise ValueError(f"failed to decompress brotli payload: {exc}") from exc
+    if (
+        not enc
+        and len(payload) >= 2
+        and payload[0] == 0x78
+        and payload[1] in _ZLIB_SECOND
+        and (payload[0] * 256 + payload[1]) % 31 == 0
+    ):
+        try:
+            return zlib.decompress(payload)
+        except zlib.error:
+            return payload  # sniff was wrong; parse the raw bytes
+    return payload
+
+
 def _detect_feed_type(parsed: dict[str, Any], payload: bytes) -> str:
     head = payload.lstrip()[:64]
     if head.startswith(b"{"):
@@ -139,8 +194,13 @@ def parse_page_rows(
         htmls = batch.column("html").to_pylist()
         tss = batch.column("warc_ts").to_pylist() if "warc_ts" in names else [None] * len(urls)
         langs = batch.column("lang").to_pylist() if "lang" in names else [None] * len(urls)
+        encs = (
+            batch.column("content_encoding").to_pylist()
+            if "content_encoding" in names
+            else [None] * len(urls)
+        )
         rows: list[dict[str, Any]] = []
-        for url, payload, ts, lang in zip(urls, htmls, tss, langs):
+        for url, payload, ts, lang, enc in zip(urls, htmls, tss, langs, encs):
             rec: dict[str, Any] = {
                 "url": url,
                 "warc_ts": ts,
@@ -156,6 +216,13 @@ def parse_page_rows(
                 rows.append(rec)
                 continue
             try:
+                try:
+                    payload = _maybe_decompress(payload, enc)
+                except ValueError as exc:
+                    rec["error"] = str(exc)[:500]
+                    rec["error_class"] = "decompress_error"
+                    rows.append(rec)
+                    continue
                 parsed = parse_feed(
                     payload,
                     include_content=include_content,
@@ -201,7 +268,11 @@ def parse_pages(
 ) -> DataFrame:
     """PAGES -> PARSED.  Column-prunes the scan to what the parse needs
     (url/warc_ts/lang/html) before crossing into Python."""
-    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+    cols = [
+        c
+        for c in ("url", "warc_ts", "html", "lang", "content_encoding")
+        if c in pages.columns
+    ]
 
     def runner(batches):
         return parse_page_rows(

@@ -43,3 +43,151 @@ def test_meta_refresh_recorded_as_error_row(spark):
     row = parse_pages(pages).collect()[0]
     assert row.error_class == "meta_refresh"
     assert row.error == "meta_refresh:https://n.example/feed.xml"
+
+
+_RSS = (
+    b'<?xml version="1.0"?><rss version="2.0"><channel>'
+    b"<title>Target Feed</title><link>https://t.example/</link>"
+    b"<description>d</description>"
+    b"<item><title>A</title><link>https://t.example/a</link></item>"
+    b"<item><title>B</title><link>https://t.example/b</link></item>"
+    b"</channel></rss>"
+)
+
+_PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _redirect_html(target: str) -> bytes:
+    return (
+        b"<!DOCTYPE html><html><head>"
+        b'<meta http-equiv="refresh" content="0; url=' + target.encode() + b'">'
+        b"</head><body>moved</body></html>"
+    )
+
+
+class TestMetaRefreshResolution:
+    def test_redirect_to_in_corpus_feed_resolves(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        pages = spark.createDataFrame(
+            [
+                ("https://o.example/", None, bytearray(_redirect_html("https://t.example/feed.xml")), None, "en"),
+                ("https://t.example/feed.xml", None, bytearray(_RSS), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        parsed = parse_pages(pages)
+        resolved = resolve_meta_refresh(parsed, pages)
+        rows = {r.url: r for r in resolved.collect()}
+        assert len(rows) == 2
+        # the redirecting url now carries its TARGET's parse result
+        orig = rows["https://o.example/"]
+        assert orig.error is None and orig.error_class is None
+        assert orig.feed.title == "Target Feed"
+        assert len(orig.entries) == 2
+        # the target itself still parses under its own url
+        assert rows["https://t.example/feed.xml"].feed.title == "Target Feed"
+
+    def test_redirect_to_missing_target_keeps_error_row(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        pages = spark.createDataFrame(
+            [("https://o.example/", None, bytearray(_redirect_html("https://gone.example/feed.xml")), None, "en")],
+            _PAGES_DDL,
+        )
+        parsed = parse_pages(pages)
+        row = resolve_meta_refresh(parsed, pages).collect()[0]
+        assert row.error_class == "meta_refresh"
+        assert row.error == "meta_refresh:https://gone.example/feed.xml"
+
+    def test_redirect_to_html_target_keeps_target_error(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        plain_html = b"<!DOCTYPE html><html><body>just a page</body></html>"
+        pages = spark.createDataFrame(
+            [
+                ("https://o.example/", None, bytearray(_redirect_html("https://t.example/page.html")), None, "en"),
+                ("https://t.example/page.html", None, bytearray(plain_html), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        parsed = parse_pages(pages)
+        rows = {r.url: r for r in resolve_meta_refresh(parsed, pages).collect()}
+        # target parsed, but it is an HTML page -> its error propagates
+        assert rows["https://o.example/"].error_class == "html_page"
+
+    def test_lineage_counts_resolution_in_run_snapshot(self, spark, tmp_path):
+        from ffp_spark.pipeline import run_snapshot
+        from ffp_spark.snapshots import read_manifest
+
+        pages = spark.createDataFrame(
+            [
+                ("https://o.example/", None, bytearray(_redirect_html("https://t.example/feed.xml")), None, "en"),
+                ("https://t.example/feed.xml", None, bytearray(_RSS), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        rep = run_snapshot(spark, pages, str(tmp_path), snapshot_id=1, n_parts=4)
+        assert rep["pages"] == 2
+        # both rows parsed: the redirect was resolved, so no error classes
+        assert rep["errors"] == {}
+
+
+class TestStoredPayloadDecompression:
+    def test_gzip_payload_parses_to_same_result(self, spark):
+        import gzip
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/feed", None, bytearray(_RSS), None, "en"),
+                ("https://b.example/feed", None, bytearray(gzip.compress(_RSS)), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        rows = {r.url: r for r in parse_pages(pages).collect()}
+        a, b = rows["https://a.example/feed"], rows["https://b.example/feed"]
+        assert b.error is None
+        assert a.feed == b.feed and a.entries == b.entries
+
+    def test_zlib_payload_sniffed_by_header_checksum(self, spark):
+        import zlib
+
+        pages = spark.createDataFrame(
+            [("https://z.example/feed", None, bytearray(zlib.compress(_RSS)), None, "en")],
+            _PAGES_DDL,
+        )
+        row = parse_pages(pages).collect()[0]
+        assert row.error is None
+        assert len(row.entries) == 2
+
+    def test_declared_encoding_column_wins(self, spark):
+        import zlib
+
+        # raw-deflate bytes (no zlib header) only decompress when the
+        # content_encoding column declares deflate
+        co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        raw_deflate = co.compress(_RSS) + co.flush()
+        pages = spark.createDataFrame(
+            [("https://d.example/feed", None, bytearray(raw_deflate), None, "en", "deflate")],
+            _PAGES_DDL + ", content_encoding string",
+        )
+        row = parse_pages(pages).collect()[0]
+        assert row.error is None and len(row.entries) == 2
+
+    def test_corrupt_gzip_is_error_row_not_task_failure(self, spark):
+        pages = spark.createDataFrame(
+            [("https://c.example/feed", None, bytearray(b"\x1f\x8b garbage"), None, "en")],
+            _PAGES_DDL,
+        )
+        row = parse_pages(pages).collect()[0]
+        assert row.error_class == "decompress_error"
+
+    def test_brotli_declared_without_library_is_error_row(self, spark):
+        pages = spark.createDataFrame(
+            [("https://br.example/feed", None, bytearray(b"\x8b\x02\x80data"), None, "en", "br")],
+            _PAGES_DDL + ", content_encoding string",
+        )
+        row = parse_pages(pages).collect()[0]
+        # brotli isn't shipped in this sandbox -> deterministic error row
+        assert row.error_class == "decompress_error"
+        assert "brotli" in row.error
