@@ -38,11 +38,16 @@ def parse_feed(
     include_tags: bool = True,
     include_media: bool = True,
     include_enclosures: bool = True,
+    with_feed_type: bool = False,
 ) -> dict[str, Any]:
     """Parse feed payload (XML or JSON Feed) into {'feed': ..., 'entries': [...]}.
 
     The four include_* flags are the reference's projection-pruning knobs
     (main.py:838-845); the Spark layer maps them to column pruning.
+    ``with_feed_type=True`` adds a ``feed_type`` key carrying the
+    structure detector's verdict (rss/atom/rdf/json) — what the Spark
+    layer surfaces as a column (byte-sniffing the payload instead can
+    mislabel, e.g. an RSS body that merely mentions ``<feed``).
     """
     as_json = try_parse_json_feed(
         source,
@@ -51,6 +56,8 @@ def parse_feed(
         include_enclosures=include_enclosures,
     )
     if as_json is not None:
+        if with_feed_type:
+            as_json["feed_type"] = "json"
         return as_json
 
     data = prepare_feed_bytes(source)
@@ -89,4 +96,7 @@ def parse_feed(
             entry["authors"] = [detail]
         entries.append(entry)
 
-    return {"feed": info, "entries": entries}
+    out = {"feed": info, "entries": entries}
+    if with_feed_type:
+        out["feed_type"] = feed_type
+    return out

@@ -158,16 +158,6 @@ def _maybe_decompress(payload: bytes, enc: Optional[str]) -> bytes:
     return payload
 
 
-def _detect_feed_type(parsed: dict[str, Any], payload: bytes) -> str:
-    head = payload.lstrip()[:64]
-    if head.startswith(b"{"):
-        return "json"
-    low = payload[:4096].lower()
-    if b"<feed" in low:
-        return "atom"
-    if b"<rdf" in low:
-        return "rdf"
-    return "rss"
 
 
 def parse_page_rows(
@@ -229,10 +219,13 @@ def parse_page_rows(
                     include_tags=include_tags,
                     include_media=include_media,
                     include_enclosures=include_enclosures,
+                    with_feed_type=True,
                 )
                 rec["feed"] = _shape_feed(parsed["feed"])
                 rec["entries"] = [_shape_entry(e) for e in parsed["entries"]]
-                rec["feed_type"] = _detect_feed_type(parsed, payload)
+                # the structure detector's verdict, not a byte re-sniff
+                # (an RSS body mentioning "<feed" must not label as atom)
+                rec["feed_type"] = parsed["feed_type"]
             except Exception as exc:  # error row, never a task failure
                 rec["error"] = str(exc)[:500]
                 rec["error_class"] = _classify_error(exc)

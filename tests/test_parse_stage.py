@@ -89,3 +89,31 @@ def test_synth_text_oracle_matches_extracted_content(spark):
     )
     bad = joined.filter("extracted <> text").collect()
     assert bad == [], bad[:3]
+
+
+def test_feed_type_comes_from_structure_detection(spark):
+    # an RSS payload that merely MENTIONS "<feed" in a description must
+    # label rss (the old byte sniffer said atom); rdf and json likewise
+    rss_with_feed_mention = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel><title>t</title>'
+        b"<link>https://x/</link><description>about &lt;feed&gt; <feed> tags"
+        b"</description><item><title>a</title></item></channel></rss>"
+    )
+    atom = (
+        b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        b"<title>t</title><entry><title>a</title></entry></feed>"
+    )
+    jsonfeed = (
+        b'{"version": "https://jsonfeed.org/version/1.1", "title": "t",'
+        b' "items": [{"id": "1", "content_text": "x"}]}'
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a/", None, bytearray(rss_with_feed_mention), None, None),
+            ("https://b/", None, bytearray(atom), None, None),
+            ("https://c/", None, bytearray(jsonfeed), None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    types = {r.url: r.feed_type for r in parse_pages(pages).collect()}
+    assert types == {"https://a/": "rss", "https://b/": "atom", "https://c/": "json"}
