@@ -119,6 +119,108 @@ GROUP BY a.author ORDER BY author
 """
 
 
+def _parsed_docfeeds(spark: SparkSession, sf_dir: str):
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.udfs import parse_pages
+
+    return parse_pages(documents_as_pages(load_documents(spark, sf_dir)))
+
+
+def _q_entry_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 link selection through Spark: rel=self dropped, alternate
+    first; histogram of surviving link rels.  Oracle = doc_id
+    arithmetic (docfeeds.doc_to_feed_xml's deterministic link sets)."""
+    from ffp_spark.triples import exploded_entries
+
+    e = exploded_entries(_parsed_docfeeds(spark, sf_dir))
+    return (
+        e.select(F.explode("entry.links").alias("l"))
+        .groupBy(F.col("l.rel").alias("rel"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("rel")
+    )
+
+
+_ORACLE_ONLY["entry_link_rels"] = """
+SELECT rel, count(*) AS n
+FROM documents,
+     unnest(CASE WHEN doc_id % 3 = 0 THEN ['alternate', 'related']
+                 WHEN doc_id % 3 = 1 THEN ['enclosure']
+                 ELSE [] END) AS t(rel)
+GROUP BY rel
+ORDER BY rel
+"""
+
+
+def _q_entry_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 tags/categories through Spark: category + dc:subject terms."""
+    from ffp_spark.triples import exploded_entries
+
+    e = exploded_entries(_parsed_docfeeds(spark, sf_dir))
+    return (
+        e.select(F.explode("entry.tags").alias("t"))
+        .groupBy(F.col("t.term").alias("term"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("term")
+    )
+
+
+_ORACLE_ONLY["entry_tags"] = """
+SELECT term, count(*) AS n FROM (
+  SELECT 'cat-' || (doc_id % 7) AS term FROM documents
+  UNION ALL
+  SELECT 'subj-' || (doc_id % 3) FROM documents WHERE doc_id % 2 = 0
+)
+GROUP BY term
+ORDER BY term
+"""
+
+
+def _q_entry_enclosures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 enclosures through Spark, incl. the int try-cast of length."""
+    from ffp_spark.triples import exploded_entries
+
+    e = exploded_entries(_parsed_docfeeds(spark, sf_dir))
+    enc = e.select(F.explode("entry.enclosures").alias("enc"))
+    return enc.agg(
+        F.count("*").alias("n_enclosures"),
+        F.sum("enc.length").cast("long").alias("total_length"),
+        F.count(F.when(F.col("enc.type") == "audio/mpeg", 1)).alias("n_audio"),
+    )
+
+
+_ORACLE_ONLY["entry_enclosures"] = """
+SELECT count(*) AS n_enclosures,
+       CAST(sum(doc_id * 100) AS BIGINT) AS total_length,
+       count(*) AS n_audio
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _q_entry_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 media extraction through Spark (media:content structs with
+    int-cast dimensions; only docs with the media ns emit them)."""
+    from ffp_spark.triples import exploded_entries
+
+    e = exploded_entries(_parsed_docfeeds(spark, sf_dir))
+    m = e.select(F.explode("entry.media_content").alias("m"))
+    return (
+        m.groupBy(F.col("m.type").alias("type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("m.width").cast("long").alias("total_width"),
+        )
+        .orderBy("type")
+    )
+
+
+_ORACLE_ONLY["entry_media"] = """
+SELECT 'image/jpeg' AS type, count(*) AS n,
+       CAST(sum(100 + doc_id % 50) AS BIGINT) AS total_width
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operators (SURVEY §2.A), SQL on both engines
 # ---------------------------------------------------------------------------
@@ -876,6 +978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
         out[name] = _sql_to_spark(name, _SPARK_DIALECT.get(name, sql))
+    out["entry_link_rels"] = _q_entry_link_rels
+    out["entry_tags"] = _q_entry_tags
+    out["entry_enclosures"] = _q_entry_enclosures
+    out["entry_media"] = _q_entry_media
     out["kg_pred_counts"] = _q_kg_pred_counts
     out["kg_author_cards"] = _q_kg_author_cards
     out["kg_published_days"] = _q_kg_published_days
