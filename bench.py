@@ -66,16 +66,20 @@ def main() -> None:
 
     snap_dir = tempfile.mkdtemp(prefix="ffp_bench_snap_")
     try:
+        stage: dict[str, float] = {}
         t0 = time.perf_counter()
         report_snap = run_snapshot(
             spark, synth_pages(spark, n_synth, seed=43), snap_dir,
-            snapshot_id=1, n_parts=max(16, cpus),
+            snapshot_id=1, n_parts=max(16, cpus), stage_timings=stage,
         )
         dt = time.perf_counter() - t0
         timings["kg_full_snapshot"] = round(dt, 3)
         extras["snapshot_pages_per_sec"] = round(n_synth / dt, 1)
         extras["snapshot_nodes"] = report_snap["nodes"]
         extras["snapshot_edges"] = report_snap["edges"]
+        # per-stage attribution (parse / link_cc / agg / write) so
+        # round-over-round regressions point at a stage, not the total
+        extras["snapshot_stages"] = stage
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
 

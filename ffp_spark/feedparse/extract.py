@@ -1,13 +1,17 @@
 """Feed-structure detection and field extraction (reference operators
 S11-S12, P1-P20).
 
-Independent implementation of the extraction semantics of
-``/root/reference/src/fastfeedparser/main.py`` (notably
-``_detect_feed_structure`` main.py:660-769, ``_parse_feed_info``
-main.py:896-1060, the RSS/Atom fast paths main.py:1372-1689 and the
-generic RDF machinery main.py:1692-1874), verified against the
-reference's golden fixture suite.  Pure Python, no Spark imports; runs
-inside the Arrow parse UDF.
+Reimplementation of the extraction semantics of
+``/root/reference/src/fastfeedparser/main.py`` (MIT, Kagi Search),
+verified against the reference's golden fixture suite.  Most of the
+module (ElemView, detect_structure, links/content/media fill, the
+generic RDF machinery) is restructured onto a different substrate
+(stdlib ElementTree + a custom recovering parser).  The two entry fast
+paths ``extract_entry_rss`` / ``extract_entry_atom`` are close ports of
+the reference's control flow (main.py:1372-1689) — byte-identical
+output requires the same first-wins branch ordering, so the loop shape
+is semantics-forced.  Pure Python, no Spark imports; runs inside the
+Arrow parse UDF.
 """
 
 from __future__ import annotations

@@ -246,6 +246,7 @@ def run_snapshot(
     n_buckets: int = 16,
     incremental_from: Optional[int] = None,
     resolve_redirects: bool = True,
+    stage_timings: Optional[dict[str, float]] = None,
 ) -> dict[str, Any]:
     """Process one snapshot of the PAGES table into committed KG tables.
 
@@ -254,7 +255,9 @@ def run_snapshot(
     Incremental: with ``incremental_from=<parent snapshot id>``, urls the
     parent already saw are anti-joined away and the parent's triples are
     merged into this snapshot's committed tables (append-only logical
-    snapshot over a physical delta, Iceberg-style)."""
+    snapshot over a physical delta, Iceberg-style).
+    Pass ``stage_timings={}`` to collect per-stage wall seconds
+    (parse / link_cc / agg / write) for round-over-round attribution."""
     pages = add_part_id(pages, n_parts)
 
     prior_lineage: Optional[DataFrame] = None
@@ -278,10 +281,16 @@ def run_snapshot(
     parsed = parsed.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
+    if stage_timings is not None:
+        import time
+
+        t0 = time.perf_counter()
+        raw.count()  # materializes the cache: this IS the parse stage
+        stage_timings["parse_sec"] = round(time.perf_counter() - t0, 3)
     try:
         return _run_snapshot_body(
             spark, pages, parsed, out_root, snapshot_id, n_parts, n_buckets,
-            prior_lineage, prior_seen, incremental_from,
+            prior_lineage, prior_seen, incremental_from, stage_timings,
         )
     finally:
         raw.unpersist()
@@ -298,9 +307,17 @@ def _run_snapshot_body(
     prior_lineage: Optional[DataFrame],
     prior_seen: Optional[DataFrame],
     incremental_from: Optional[int],
+    stage_timings: Optional[dict[str, float]] = None,
 ) -> dict[str, Any]:
+    import time
+
+    t0 = time.perf_counter()
+    # connected components runs its iterative jobs eagerly inside this
+    # call; everything else here is lazy plan construction
     canon = link_and_canonicalize(parsed)
     triples, nodes, edges = materialize_graph(parsed, canon, snapshot_id, n_parts)
+    if stage_timings is not None:
+        stage_timings["link_cc_sec"] = round(time.perf_counter() - t0, 3)
 
     lineage_new = (
         parsed.groupBy("part_id")
@@ -327,11 +344,14 @@ def _run_snapshot_body(
 
     # page count from the (cached) parsed lineage aggregate — not a
     # separate todo.count() job over the raw pages source
+    t0 = time.perf_counter()
     n_pages_run = lineage_new.agg(F.sum("n_pages").alias("p")).collect()[0].p or 0
     stats = {
         "n_pages": int(n_pages_run),
         "errors": {r.error_class: r["count"] for r in error_histogram(parsed).collect()},
     }
+    if stage_timings is not None:
+        stage_timings["agg_sec"] = round(time.perf_counter() - t0, 3)
 
     # incremental merge: the parent snapshot's committed graph is carried
     # forward; this run only parsed the delta
@@ -379,6 +399,7 @@ def _run_snapshot_body(
     # commit is the marker that this snapshot's work is complete.  A
     # crash anywhere earlier leaves lineage without "done" rows, so a
     # re-run re-derives everything idempotently (see resume merge above).
+    t0 = time.perf_counter()
     m_triples = write_snapshot(
         triples, out_root, "triples", snapshot_id, partition_by=["part_id"]
     )
@@ -391,6 +412,8 @@ def _run_snapshot_body(
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
     write_snapshot(seen, out_root, "pages_seen", snapshot_id)
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
+    if stage_timings is not None:
+        stage_timings["write_sec"] = round(time.perf_counter() - t0, 3)
     return {
         "snapshot_id": snapshot_id,
         "pages": stats["n_pages"],

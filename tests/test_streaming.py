@@ -1,0 +1,86 @@
+"""Structured Streaming ingest: streaming parse/triples must agree with
+the batch path, survive restarts exactly-once, and bound state via
+watermarks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffp_spark.datagen import synth_pages
+from ffp_spark.streaming import (
+    run_stream_to_table,
+    stream_pages,
+    stream_triples,
+    windowed_pred_counts,
+)
+from ffp_spark.triples import emit_triples
+from ffp_spark.udfs import parse_pages
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    d = tmp_path / "landing"
+    # two separate file drops — the stream sees them as distinct inputs
+    synth_pages(spark, 60, seed=11).coalesce(2).write.mode("append").parquet(str(d))
+    synth_pages(spark, 40, seed=12).coalesce(2).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def test_stream_triples_match_batch(spark, tmp_path, landing):
+    out = tmp_path / "triples_out"
+    ckpt = tmp_path / "ckpt"
+    run_stream_to_table(spark, landing, str(out), str(ckpt))
+    streamed = spark.read.parquet(str(out))
+    batch = emit_triples(parse_pages(spark.read.parquet(landing)))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path, landing):
+    out = tmp_path / "triples_out"
+    ckpt = tmp_path / "ckpt"
+    run_stream_to_table(spark, landing, str(out), str(ckpt))
+    n1 = spark.read.parquet(str(out)).count()
+    # restart with the same checkpoint: nothing new landed -> no new rows
+    run_stream_to_table(spark, landing, str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == n1
+    # new files land -> only the delta is appended
+    synth_pages(spark, 20, seed=13).coalesce(1).write.mode("append").parquet(landing)
+    run_stream_to_table(spark, landing, str(out), str(ckpt))
+    batch = emit_triples(parse_pages(spark.read.parquet(landing)))
+    assert spark.read.parquet(str(out)).count() == batch.count()
+
+
+def test_windowed_counts_have_watermark_and_match_batch(spark, tmp_path, landing):
+    stream = windowed_pred_counts(stream_pages(spark, landing), window="1 hour")
+    # the streaming plan carries an event-time watermark (bounded state)
+    assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wpc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start: (r.n_entries, r.n_published, r.n_authored)
+        for r in spark.sql("SELECT * FROM wpc").collect()
+    }
+    parsed = parse_pages(spark.read.parquet(landing))
+    ok = parsed.filter(F.col("error").isNull() & F.col("entries").isNotNull())
+    entries = ok.select("warc_ts", F.explode("entries").alias("entry"))
+    want = {
+        r.ws: (r.n, r.np, r.na)
+        for r in entries.groupBy(
+            F.window("warc_ts", "1 hour").getField("start").alias("ws")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count("entry.published").alias("np"),
+            F.count("entry.author").alias("na"),
+        )
+        .collect()
+    }
+    assert got == want
