@@ -13,7 +13,7 @@ the edge set — deterministic for a given dataset.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -72,8 +72,21 @@ def connected_components(
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur))
         if checkpoint:
+            # fold the convergence fingerprint into the checkpoint
+            # materialization via an observed metric — one job per
+            # round instead of two (checkpoint + separate agg scan)
+            obs = Observation()
+            cur = cur.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+                ).alias("h"),
+            )
             cur = cur.localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
+            fp = (int(obs.get["n"]), int(obs.get["h"]))
+        else:
+            fp = _fingerprint(cur)
         if fp == prev_fp:
             break
         prev_fp = fp

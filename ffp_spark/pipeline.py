@@ -137,24 +137,38 @@ def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFr
 
     Clustering runs over *distinct normalized surfaces* (far smaller than
     the mention set: the groupBy is the dedup), then mentions re-join the
-    mapping; canonical id = lexicographic min surface in the component."""
+    mapping; canonical id = lexicographic min surface in the component.
+
+    Returns an eagerly-materialized CACHED mapping (tiny: one row per
+    distinct surface) — callers join it repeatedly and must not replay
+    the LSH machinery; call ``.unpersist()`` when done."""
     mentions = extract_mentions(parsed)
     distinct_surfaces = mentions.select("norm").where(
         F.col("norm").isNotNull() & (F.col("norm") != "")
     ).distinct().withColumn("mention_id", F.col("norm"))
-    signed = with_signatures(distinct_surfaces)
-    # star edges, not all pairs: hot-domain surfaces share buckets and
-    # all-pairs is O(bucket^2) — connectivity through the bucket
-    # representative is all CC needs
-    scored = bucket_star_edges(signed, min_jaccard=min_jaccard)
-    edges = scored.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
-    components = connected_components(edges)
-    mapping = distinct_surfaces.select("norm").join(
-        components.withColumnRenamed("node_id", "norm"), "norm", "left"
-    )
-    return mapping.withColumn(
-        "canonical_norm", F.coalesce("component_id", "norm")
-    ).select("norm", "canonical_norm")
+    # cache the signatures: the band self-join consumes them on BOTH
+    # sides (probe + representatives), and without the cache the MinHash
+    # UDF and the distinct shuffle execute once per side (measured 2x
+    # the entire linking wall at bench scale)
+    signed = with_signatures(distinct_surfaces).cache()
+    try:
+        # star edges, not all pairs: hot-domain surfaces share buckets and
+        # all-pairs is O(bucket^2) — connectivity through the bucket
+        # representative is all CC needs
+        scored = bucket_star_edges(signed, min_jaccard=min_jaccard)
+        edges = scored.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+        components = connected_components(edges)
+        mapping = signed.select("norm").join(
+            components.withColumnRenamed("node_id", "norm"), "norm", "left"
+        )
+        out = mapping.withColumn(
+            "canonical_norm", F.coalesce("component_id", "norm")
+        ).select("norm", "canonical_norm")
+        out = out.cache()
+        out.count()  # materialize while the signature cache is alive
+        return out
+    finally:
+        signed.unpersist()
 
 
 def materialize_graph(
@@ -312,8 +326,9 @@ def _run_snapshot_body(
     import time
 
     t0 = time.perf_counter()
-    # connected components runs its iterative jobs eagerly inside this
-    # call; everything else here is lazy plan construction
+    # link_and_canonicalize runs its CC jobs eagerly and returns a
+    # cached mapping (the broadcast dimension of the salted author join,
+    # consumed by three write jobs); unpersisted after the commits
     canon = link_and_canonicalize(parsed)
     triples, nodes, edges = materialize_graph(parsed, canon, snapshot_id, n_parts)
     if stage_timings is not None:
@@ -414,6 +429,7 @@ def _run_snapshot_body(
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     if stage_timings is not None:
         stage_timings["write_sec"] = round(time.perf_counter() - t0, 3)
+    canon.unpersist()
     return {
         "snapshot_id": snapshot_id,
         "pages": stats["n_pages"],
