@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode libraries (PIL/ffmpeg/librosa) are not available in this
-container, so the *decode kernels* are deterministic stubs behind
-clearly-marked seams (`_FAKE_DECODE`), while everything Spark-side is
-real and tested: binary columns, magic-byte sniffing, typed metadata
-structs, Arrow batch shapes, mapInPandas signatures, frame-sampling row
-expansion, and embedding columns that feed the ANN operators.
+Decode support in this environment (no PIL/ffmpeg, but struct/zlib are
+stdlib — see mediacodec.py):
+
+* REAL: PNG pixel decode (8-bit RGB/RGBA, filters 0-4), PNG encode,
+  JPEG/GIF header dimensions, WAV PCM sample decode + audio features,
+  MP4 mvhd duration — all pure-Python byte parsing.
+* STUB behind `_FAKE_DECODE`: JPEG/GIF *pixel* decode (needs libjpeg)
+  and video *frame* decode (needs ffmpeg) — deterministic fakes with
+  the real signatures so batch shapes and downstream ops are testable.
 
 At 100 TB the pattern is: keep payloads as parquet binary, sniff/route
 JVM-side where possible, decode in Arrow-batched Python with bounded
@@ -25,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -33,8 +37,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Set True in this sandbox: decode produces deterministic fakes instead of
-# raising NotImplementedError.  Flip to False where real codecs exist.
+from . import mediacodec as mc
+
+# JPEG/GIF pixel and video frame decode produce deterministic fakes in
+# this sandbox instead of raising NotImplementedError.  PNG pixels, WAV
+# samples and all header metadata are decoded for real (mediacodec.py).
 _FAKE_DECODE = True
 
 MEDIA_SCHEMA = StructType(
@@ -109,30 +116,159 @@ def _fake_pixels(media_id: str, w: int, h: int) -> bytes:
 def decode_images(df: DataFrame) -> DataFrame:
     """Binary image column -> (width, height, RGB bytes).
 
-    STUB KERNEL: real decode requires PIL/libjpeg (absent here); the fake
-    derives deterministic dimensions and pixel bytes from the id so the
-    batch shapes, schema, and downstream resize/feature ops are testable.
+    PNG payloads decode FOR REAL (mediacodec.png_decode: zlib inflate +
+    per-row unfilter; RGBA drops alpha).  JPEG/GIF get real header
+    dimensions but fake pixel bytes (pixel decode needs libjpeg — the
+    `_FAKE_DECODE` seam); unknown payloads get fully fake dims+pixels.
     """
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if not _FAKE_DECODE:
-                    raise NotImplementedError("image decode requires PIL/libjpeg")
-                d = int.from_bytes(hashlib.sha256(str(r.media_id).encode()).digest()[:4], "big")
-                w, h = 16 + d % 48, 16 + (d >> 8) % 48
+                payload = bytes(r.payload) if r.payload is not None else b""
+                w = h = None
+                pixels = None
+                if payload.startswith(b"\x89PNG"):
+                    try:
+                        w, h, arr = mc.png_decode(payload)
+                        if arr.shape[2] == 4:
+                            arr = arr[:, :, :3]
+                        elif arr.shape[2] == 1:
+                            arr = np.repeat(arr, 3, axis=2)
+                        elif arr.shape[2] == 2:  # gray+alpha
+                            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+                        pixels = arr.tobytes()
+                    except ValueError:
+                        w = h = None
+                if pixels is None:
+                    dims = mc.jpeg_dims(payload) or mc.gif_dims(payload)
+                    if dims:
+                        w, h = dims
+                    if w is None:
+                        if not _FAKE_DECODE:
+                            raise NotImplementedError(
+                                "image decode requires PIL/libjpeg"
+                            )
+                        d = int.from_bytes(
+                            hashlib.sha256(str(r.media_id).encode()).digest()[:4], "big"
+                        )
+                        w, h = 16 + d % 48, 16 + (d >> 8) % 48
+                    # real dims, stubbed pixel bytes (libjpeg absent)
+                    pixels = _fake_pixels(str(r.media_id), w, h)
                 rows.append(
-                    {
-                        "media_id": r.media_id,
-                        "width": w,
-                        "height": h,
-                        "pixels": _fake_pixels(str(r.media_id), w, h),
-                    }
+                    {"media_id": r.media_id, "width": w, "height": h, "pixels": pixels}
                 )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(run, schema=DECODED_IMAGE_SCHEMA)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """ffprobe-style REAL header probe, pure Python: mime + dimensions
+    (PNG/JPEG/GIF), duration (WAV data length, MP4 mvhd), audio rate/
+    channels.  Arrow-batched; touches only headers, never decodes
+    payload bodies except the WAV chunk walk."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                rec = {
+                    "media_id": r.media_id,
+                    "mime": sniff_mime(payload),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                    "channels": None,
+                }
+                dims = (
+                    mc.png_dims(payload)
+                    or mc.jpeg_dims(payload)
+                    or mc.gif_dims(payload)
+                )
+                if dims:
+                    rec["width"], rec["height"] = dims
+                if rec["mime"] == "audio/wav":
+                    try:
+                        info = mc.wav_decode(payload)
+                        rec["duration_ms"] = info["duration_ms"]
+                        rec["sample_rate"] = info["sample_rate"]
+                        rec["channels"] = info["channels"]
+                    except ValueError:
+                        pass
+                elif rec["mime"] == "video/mp4":
+                    rec["duration_ms"] = mc.mp4_duration_ms(payload)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL WAV decode to features: PCM samples via struct, then RMS and
+    peak computed in numpy — the heavy bytes die inside the UDF and only
+    fixed-width features come out (the 100 TB-safe shape)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                rec = {
+                    "media_id": r.media_id,
+                    "sample_rate": None,
+                    "channels": None,
+                    "n_frames": None,
+                    "duration_ms": None,
+                    "rms": None,
+                    "peak": None,
+                }
+                try:
+                    info = mc.wav_decode(payload)
+                    s = info["samples"].astype(np.float64)
+                    rec.update(
+                        sample_rate=info["sample_rate"],
+                        channels=info["channels"],
+                        n_frames=info["n_frames"],
+                        duration_ms=info["duration_ms"],
+                        rms=float(np.sqrt(np.mean(s * s))) if len(s) else 0.0,
+                        peak=int(np.max(np.abs(info["samples"]))) if len(s) else 0,
+                    )
+                except ValueError:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -228,23 +364,34 @@ def embed_media(df: DataFrame, dim: int = 64) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synth_media_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic corpus of REAL payloads: decodable PNGs (encoded
+    with mediacodec.png_encode), PCM16 WAVs, MP4 ftyp+mvhd boxes, and
+    JPEG prefixes with valid SOF0 dimensions (entropy data absent)."""
     rows = []
     for i in range(n):
         d = hashlib.md5(f"{seed}:{i}".encode()).digest()
         pick = d[0] % 4
-        body = (d * 64)[:512]
         if pick == 0:
-            payload = b"\x89PNG\r\n\x1a\n" + body
+            w, h = 8 + d[1] % 24, 8 + d[2] % 24
+            rng = np.random.RandomState(int.from_bytes(d[4:8], "big"))
+            payload = mc.png_encode(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
             kind, dur = "image", None
         elif pick == 1:
-            payload = b"\xff\xd8\xff\xe0" + body
+            payload = mc.jpeg_header(32 + d[1] % 64, 32 + d[2] % 64) + (d * 16)[:128]
             kind, dur = "image", None
         elif pick == 2:
-            payload = b"RIFF" + body[:4] + b"WAVE" + body
-            kind, dur = "audio", 1000 + (d[1] % 10) * 500
+            rate = 8000
+            dur = 1000 + (d[1] % 10) * 500
+            t = np.arange(rate * dur // 1000)
+            tone = (
+                np.sin(2 * np.pi * (200 + d[2]) * t / rate) * (1000 + d[3] * 8)
+            ).astype(np.int16)
+            payload = mc.wav_encode(tone, sample_rate=rate)
+            kind = "audio"
         else:
-            payload = b"\x00\x00\x00\x18ftypmp42" + body
-            kind, dur = "video", 2000 + (d[1] % 8) * 1000
+            dur = 2000 + (d[1] % 8) * 1000
+            payload = mc.mp4_box(mvhd_timescale=1000, mvhd_duration=dur)
+            kind = "video"
         rows.append(
             {
                 "media_id": f"m{i:06d}",

@@ -80,3 +80,57 @@ def test_embeddings_feed_ann(spark, media):
         ).alias("sq")
     ).collect()
     assert all(abs(r.sq - 1.0) < 1e-3 for r in norms)
+
+
+class TestRealCodecs:
+    def test_png_decode_roundtrip_through_spark(self, spark):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(7)
+        imgs = {f"p{i}": rng.randint(0, 256, (10 + i, 12 + i, 3), dtype=np.uint8) for i in range(4)}
+        rows = [
+            {"media_id": k, "kind": "image", "payload": mc.png_encode(v),
+             "mime": None, "duration_ms": None}
+            for k, v in imgs.items()
+        ]
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        got = {r.media_id: r for r in decode_images(df).collect()}
+        for k, v in imgs.items():
+            r = got[k]
+            assert (r.width, r.height) == (v.shape[1], v.shape[0])
+            # REAL pixels, byte-exact
+            assert bytes(r.pixels) == v.tobytes()
+
+    def test_probe_media_reads_real_headers(self, spark, media):
+        from ffp_spark.multimodal import probe_media
+
+        probed = {r.media_id: r for r in probe_media(media).collect()}
+        src = {r.media_id: r for r in media.collect()}
+        assert len(probed) == len(src)
+        for mid, p in probed.items():
+            s = src[mid]
+            if s.kind == "image":
+                assert p.width is not None and p.height is not None
+                assert p.mime in ("image/png", "image/jpeg")
+            elif s.kind == "audio":
+                assert p.mime == "audio/wav"
+                assert p.sample_rate == 8000 and p.channels == 1
+                assert p.duration_ms == s.duration_ms
+            else:
+                assert p.mime == "video/mp4"
+                assert p.duration_ms == s.duration_ms  # real mvhd parse
+
+    def test_decode_audio_real_features(self, spark, media):
+        import math
+
+        from ffp_spark.multimodal import decode_audio
+
+        feats = {r.media_id: r for r in decode_audio(media.filter("kind = 'audio'")).collect()}
+        assert feats
+        for r in feats.values():
+            assert r.sample_rate == 8000 and r.channels == 1
+            assert r.n_frames == r.duration_ms * 8  # 8000 Hz
+            # a pure sine of amplitude A has RMS ~ A/sqrt(2)
+            assert r.peak > 900
+            assert abs(r.rms - r.peak / math.sqrt(2)) / r.peak < 0.05
