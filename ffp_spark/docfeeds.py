@@ -12,8 +12,6 @@ import datetime as _dt
 from typing import Iterable, Iterator
 from xml.sax.saxutils import escape
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import PAGES_SCHEMA
@@ -100,24 +98,36 @@ def doc_to_feed_xml(doc_id: int, text: str, lang: str, source: str) -> bytes:
 
 
 def documents_as_pages(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, text, lang, source, ...) -> PAGES."""
+    """documents(doc_id, text, lang, source, ...) -> PAGES.
 
-    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                rows.append(
-                    {
-                        "url": f"https://docs.example/{r.source}/feed-{r.doc_id}.xml",
-                        "warc_ts": _EPOCH + _dt.timedelta(seconds=int(r.doc_id)),
-                        "html": doc_to_feed_xml(r.doc_id, r.text, r.lang, r.source),
-                        "text": r.text,
-                        "lang": r.lang,
-                    }
-                )
-            yield pd.DataFrame(rows)
+    mapInArrow, not mapInPandas: the html column is binary, and binary
+    through pandas object arrays is the measured 15x-at-32-cores cliff
+    (see README perf notes / udfs.parse_page_rows)."""
 
-    return documents.select("doc_id", "text", "lang", "source").mapInPandas(
+    def gen(batches: Iterable["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(PAGES_SCHEMA)
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            sources = batch.column("source").to_pylist()
+            rows = [
+                {
+                    "url": f"https://docs.example/{source}/feed-{doc_id}.xml",
+                    "warc_ts": _EPOCH + _dt.timedelta(seconds=int(doc_id)),
+                    "html": doc_to_feed_xml(doc_id, text, lang, source),
+                    "text": text,
+                    "lang": lang,
+                }
+                for doc_id, text, lang, source in zip(ids, texts, langs, sources)
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return documents.select("doc_id", "text", "lang", "source").mapInArrow(
         gen, schema=PAGES_SCHEMA
     )
 
