@@ -67,6 +67,13 @@ def connected_components(
     cur = cur.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).dropDuplicates(["src", "dst"])
+    if checkpoint:
+        # materialize the input ONCE: each star round references its
+        # input several times (the union + two consumers of nbrs), and
+        # Spark does not dedupe common subtrees — without this the whole
+        # upstream edge-building pipeline executes ~4x inside round 0
+        # (measured 150s -> 32s for CC at 100k pages)
+        cur = cur.localCheckpoint(eager=True)
 
     prev_fp = None
     for _ in range(max_iter):

@@ -197,6 +197,10 @@ def simhash_near_dups(
     sh = simhash(docs, text_col=text_col, n_bits=n_bits, hash_expr=hash_expr).select(
         F.col(id_col).alias("id"), "simhash"
     )
+    # the band self-join consumes the codes on both sides; checkpoint the
+    # (tiny) id->code projection so the tokens x n_bits vote aggregation
+    # runs once, not once per join side
+    sh = sh.localCheckpoint(eager=True)
     banded = simhash_bands(sh, n_bands=n_bands, bits_per_band=n_bits // n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
