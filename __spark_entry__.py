@@ -726,7 +726,11 @@ def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the md5-derived token hash so DuckDB reproduces the exact codes."""
     from ffp_spark.textops import MD5_60BIT_HASH, simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # zero-token docs are excluded on BOTH sides (the oracle's unnest
+    # drops them implicitly; Spark must match)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL AND trim(text) <> ''"
+    )
     sh = simhash(docs, n_bits=60, hash_expr=MD5_60BIT_HASH)
     return (
         sh.groupBy("simhash")
@@ -743,6 +747,7 @@ WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
   FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
 ),
 h AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks
@@ -772,7 +777,9 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, never all-pairs); oracle brute-forces all pairs."""
     from ffp_spark.textops import MD5_60BIT_HASH, simhash_near_dups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL AND trim(text) <> ''"
+    )
     pairs = simhash_near_dups(
         docs, max_hamming=3, n_bits=60, n_bands=4, hash_expr=MD5_60BIT_HASH
     )

@@ -150,6 +150,9 @@ def jpeg_dims(payload: bytes) -> Optional[tuple[int, int]]:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # the spec allows 0xFF fill bytes before any marker — skip them
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             if pos + 9 <= n:
@@ -222,11 +225,25 @@ def wav_decode(payload: bytes) -> dict:
             data = body
     if rate is None:
         raise ValueError("missing fmt chunk")
-    samples = (
-        np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
-        if width_bits == 16
-        else np.frombuffer(data, dtype=np.uint8).astype(np.int16)
-    )
+    if width_bits == 16:
+        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    elif width_bits == 8:
+        # 8-bit PCM is unsigned with a 128 bias per the WAV spec; scale
+        # to int16 range so silence is 0 and features are comparable
+        samples = (
+            (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+        )
+    elif width_bits == 24:
+        usable = data[: len(data) - (len(data) % 3)]
+        b = np.frombuffer(usable, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        raw24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        raw24 = np.where(raw24 >= 1 << 23, raw24 - (1 << 24), raw24)
+        samples = (raw24 >> 8).astype(np.int16)  # keep the top 16 bits
+    elif width_bits == 32:
+        raw32 = np.frombuffer(data[: len(data) - (len(data) % 4)], dtype="<i4")
+        samples = (raw32 >> 16).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported PCM width {width_bits}")
     n_frames = len(samples) // max(channels, 1)
     return {
         "sample_rate": int(rate),

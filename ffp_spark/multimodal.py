@@ -19,7 +19,6 @@ fixed-width features immediately so the heavy bytes never shuffle.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -113,55 +112,71 @@ def _fake_pixels(media_id: str, w: int, h: int) -> bytes:
     return (seed * reps)[: w * h * 3]
 
 
+def _arrow(schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _decode_image_row(media_id: str, payload: bytes) -> dict:
+    """Per-row decode with total exception containment: malformed media
+    must degrade (header dims or fake), never fail the task."""
+    w = h = None
+    pixels = None
+    if payload.startswith(b"\x89PNG"):
+        try:
+            w, h, arr = mc.png_decode(payload)
+            if arr.shape[2] == 4:
+                arr = arr[:, :, :3]
+            elif arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            elif arr.shape[2] == 2:  # gray+alpha
+                arr = np.repeat(arr[:, :, :1], 3, axis=2)
+            pixels = arr.tobytes()
+        except Exception:  # zlib.error / struct.error / ValueError alike
+            w = h = pixels = None
+    if pixels is None:
+        try:
+            dims = mc.jpeg_dims(payload) or mc.gif_dims(payload)
+        except Exception:
+            dims = None
+        if dims:
+            w, h = dims
+        if w is None:
+            if not _FAKE_DECODE:
+                raise NotImplementedError("image decode requires PIL/libjpeg")
+            d = int.from_bytes(hashlib.sha256(str(media_id).encode()).digest()[:4], "big")
+            w, h = 16 + d % 48, 16 + (d >> 8) % 48
+        # real dims, stubbed pixel bytes (libjpeg absent)
+        pixels = _fake_pixels(str(media_id), w, h)
+    return {"media_id": media_id, "width": w, "height": h, "pixels": pixels}
+
+
 def decode_images(df: DataFrame) -> DataFrame:
     """Binary image column -> (width, height, RGB bytes).
 
     PNG payloads decode FOR REAL (mediacodec.png_decode: zlib inflate +
     per-row unfilter; RGBA drops alpha).  JPEG/GIF get real header
     dimensions but fake pixel bytes (pixel decode needs libjpeg — the
-    `_FAKE_DECODE` seam); unknown payloads get fully fake dims+pixels.
+    `_FAKE_DECODE` seam); unknown/corrupt payloads degrade to fake
+    dims+pixels, never a task failure.  mapInArrow: binary through
+    pandas object arrays is the measured 15x cliff.
     """
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                w = h = None
-                pixels = None
-                if payload.startswith(b"\x89PNG"):
-                    try:
-                        w, h, arr = mc.png_decode(payload)
-                        if arr.shape[2] == 4:
-                            arr = arr[:, :, :3]
-                        elif arr.shape[2] == 1:
-                            arr = np.repeat(arr, 3, axis=2)
-                        elif arr.shape[2] == 2:  # gray+alpha
-                            arr = np.repeat(arr[:, :, :1], 3, axis=2)
-                        pixels = arr.tobytes()
-                    except ValueError:
-                        w = h = None
-                if pixels is None:
-                    dims = mc.jpeg_dims(payload) or mc.gif_dims(payload)
-                    if dims:
-                        w, h = dims
-                    if w is None:
-                        if not _FAKE_DECODE:
-                            raise NotImplementedError(
-                                "image decode requires PIL/libjpeg"
-                            )
-                        d = int.from_bytes(
-                            hashlib.sha256(str(r.media_id).encode()).digest()[:4], "big"
-                        )
-                        w, h = 16 + d % 48, 16 + (d >> 8) % 48
-                    # real dims, stubbed pixel bytes (libjpeg absent)
-                    pixels = _fake_pixels(str(r.media_id), w, h)
-                rows.append(
-                    {"media_id": r.media_id, "width": w, "height": h, "pixels": pixels}
-                )
-            yield pd.DataFrame(rows)
+    def run(batches):
+        import pyarrow as pa
 
-    return df.select("media_id", "payload").mapInPandas(run, schema=DECODED_IMAGE_SCHEMA)
+        out_schema = _arrow(DECODED_IMAGE_SCHEMA)
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            rows = [
+                _decode_image_row(i, bytes(p) if p is not None else b"")
+                for i, p in zip(ids, payloads)
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return df.select("media_id", "payload").mapInArrow(run, schema=DECODED_IMAGE_SCHEMA)
 
 
 PROBE_SCHEMA = StructType(
@@ -177,47 +192,52 @@ PROBE_SCHEMA = StructType(
 )
 
 
+def _probe_row(media_id: str, payload: bytes) -> dict:
+    rec = {
+        "media_id": media_id,
+        "mime": sniff_mime(payload),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "sample_rate": None,
+        "channels": None,
+    }
+    try:
+        dims = mc.png_dims(payload) or mc.jpeg_dims(payload) or mc.gif_dims(payload)
+        if dims:
+            rec["width"], rec["height"] = dims
+        if rec["mime"] == "audio/wav":
+            info = mc.wav_decode(payload)
+            rec["duration_ms"] = info["duration_ms"]
+            rec["sample_rate"] = info["sample_rate"]
+            rec["channels"] = info["channels"]
+        elif rec["mime"] == "video/mp4":
+            rec["duration_ms"] = mc.mp4_duration_ms(payload)
+    except Exception:  # truncated/corrupt headers probe to NULLs
+        pass
+    return rec
+
+
 def probe_media(df: DataFrame) -> DataFrame:
     """ffprobe-style REAL header probe, pure Python: mime + dimensions
     (PNG/JPEG/GIF), duration (WAV data length, MP4 mvhd), audio rate/
-    channels.  Arrow-batched; touches only headers, never decodes
-    payload bodies except the WAV chunk walk."""
+    channels.  mapInArrow-batched; corrupt headers yield NULL fields,
+    never task failures."""
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                rec = {
-                    "media_id": r.media_id,
-                    "mime": sniff_mime(payload),
-                    "width": None,
-                    "height": None,
-                    "duration_ms": None,
-                    "sample_rate": None,
-                    "channels": None,
-                }
-                dims = (
-                    mc.png_dims(payload)
-                    or mc.jpeg_dims(payload)
-                    or mc.gif_dims(payload)
-                )
-                if dims:
-                    rec["width"], rec["height"] = dims
-                if rec["mime"] == "audio/wav":
-                    try:
-                        info = mc.wav_decode(payload)
-                        rec["duration_ms"] = info["duration_ms"]
-                        rec["sample_rate"] = info["sample_rate"]
-                        rec["channels"] = info["channels"]
-                    except ValueError:
-                        pass
-                elif rec["mime"] == "video/mp4":
-                    rec["duration_ms"] = mc.mp4_duration_ms(payload)
-                rows.append(rec)
-            yield pd.DataFrame(rows)
+    def run(batches):
+        import pyarrow as pa
 
-    return df.select("media_id", "payload").mapInPandas(run, schema=PROBE_SCHEMA)
+        out_schema = _arrow(PROBE_SCHEMA)
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            rows = [
+                _probe_row(i, bytes(p) if p is not None else b"")
+                for i, p in zip(ids, payloads)
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return df.select("media_id", "payload").mapInArrow(run, schema=PROBE_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -234,17 +254,23 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def decode_audio(df: DataFrame) -> DataFrame:
-    """REAL WAV decode to features: PCM samples via struct, then RMS and
-    peak computed in numpy — the heavy bytes die inside the UDF and only
-    fixed-width features come out (the 100 TB-safe shape)."""
+    """REAL WAV decode to features: PCM samples via struct (16/8/24/32
+    bit), then RMS and peak computed in numpy — the heavy bytes die
+    inside the UDF and only fixed-width features come out (the
+    100 TB-safe shape).  Corrupt payloads yield NULL features."""
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches):
+        import pyarrow as pa
+
+        out_schema = _arrow(AUDIO_FEATURES_SCHEMA)
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
             rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
+            for media_id, p in zip(ids, payloads):
+                payload = bytes(p) if p is not None else b""
                 rec = {
-                    "media_id": r.media_id,
+                    "media_id": media_id,
                     "sample_rate": None,
                     "channels": None,
                     "n_frames": None,
@@ -263,12 +289,12 @@ def decode_audio(df: DataFrame) -> DataFrame:
                         rms=float(np.sqrt(np.mean(s * s))) if len(s) else 0.0,
                         peak=int(np.max(np.abs(info["samples"]))) if len(s) else 0,
                     )
-                except ValueError:
+                except Exception:
                     pass
                 rows.append(rec)
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 
-    return df.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    return df.select("media_id", "payload").mapInArrow(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -284,58 +310,62 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
         ]
     )
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches):
+        import pyarrow as pa
+
+        out_schema = _arrow(schema)
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            widths = batch.column("width").to_pylist()
+            heights = batch.column("height").to_pylist()
+            pixels = batch.column("pixels").to_pylist()
             rows = []
-            for r in pdf.itertuples(index=False):
-                src = np.frombuffer(bytes(r.pixels), dtype=np.uint8)
-                src = src[: int(r.width) * int(r.height) * 3].reshape(
-                    int(r.height), int(r.width), 3
-                )
-                ys = (np.arange(out_h) * r.height // out_h).astype(int)
-                xs = (np.arange(out_w) * r.width // out_w).astype(int)
+            for media_id, w, h, px in zip(ids, widths, heights, pixels):
+                src = np.frombuffer(bytes(px), dtype=np.uint8)
+                src = src[: int(w) * int(h) * 3].reshape(int(h), int(w), 3)
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
                 out = src[ys][:, xs]
                 rows.append(
                     {
-                        "media_id": r.media_id,
+                        "media_id": media_id,
                         "width": out_w,
                         "height": out_h,
                         "pixels": out.tobytes(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 
-    return decoded.mapInPandas(run, schema=schema)
+    return decoded.select("media_id", "width", "height", "pixels").mapInArrow(
+        run, schema=schema
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video -> frame rows (row expansion inside mapInPandas; the frame
     decode itself is the stub kernel)."""
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches):
+        import pyarrow as pa
+
+        out_schema = _arrow(FRAME_SCHEMA)
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            durs = batch.column("duration_ms").to_pylist()
             rows = []
-            for r in pdf.itertuples(index=False):
-                dur = int(r.duration_ms or 0)
-                for idx, ts in enumerate(range(0, dur, every_ms)):
+            for media_id, dur in zip(ids, durs):
+                for idx, ts in enumerate(range(0, int(dur or 0), every_ms)):
                     if not _FAKE_DECODE:
                         raise NotImplementedError("frame decode requires ffmpeg")
-                    fake = hashlib.sha256(f"{r.media_id}:{idx}".encode()).digest()
+                    fake = hashlib.sha256(f"{media_id}:{idx}".encode()).digest()
                     rows.append(
-                        {
-                            "media_id": r.media_id,
-                            "frame_idx": idx,
-                            "ts_ms": ts,
-                            "frame": fake,
-                        }
+                        {"media_id": media_id, "frame_idx": idx, "ts_ms": ts, "frame": fake}
                     )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
-            )
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 
     return media.filter(F.col("kind") == "video").select(
         "media_id", "duration_ms"
-    ).mapInPandas(run, schema=FRAME_SCHEMA)
+    ).mapInArrow(run, schema=FRAME_SCHEMA)
 
 
 def embed_media(df: DataFrame, dim: int = 64) -> DataFrame:

@@ -70,7 +70,11 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
     )
 
 
-def resolve_meta_refresh(parsed: DataFrame, pages: DataFrame) -> DataFrame:
+def resolve_meta_refresh(
+    parsed: DataFrame,
+    pages: DataFrame,
+    cache_registry: Optional[list] = None,
+) -> DataFrame:
     """Resolve meta-refresh redirects against the at-rest PAGES table.
 
     Offline analogue of the reference's redirect retry
@@ -98,8 +102,11 @@ def resolve_meta_refresh(parsed: DataFrame, pages: DataFrame) -> DataFrame:
     targets = redirects.select(F.col("target_url").alias("url")).distinct()
     # with AQE on, an empty broadcast build side collapses the semi-join
     # to an empty relation — the common no-redirects case never scans
-    # PAGES at all
-    target_pages = pages.join(F.broadcast(targets), "url", "left_semi")
+    # PAGES at all.  dropDuplicates on url: a corpus holding a target
+    # twice (re-crawl) must not fan out the redirecting row's output.
+    target_pages = pages.join(F.broadcast(targets), "url", "left_semi").dropDuplicates(
+        ["url"]
+    )
     parsed_targets = parse_pages(target_pages).select(
         F.col("url").alias("target_url"),
         F.col("feed_type").alias("t_feed_type"),
@@ -109,6 +116,8 @@ def resolve_meta_refresh(parsed: DataFrame, pages: DataFrame) -> DataFrame:
         F.col("error_class").alias("t_error_class"),
         F.lit(True).alias("t_hit"),
     ).cache()  # tiny; keeps downstream jobs from re-scanning PAGES
+    if cache_registry is not None:
+        cache_registry.append(parsed_targets)
     resolved = (
         redirects.join(F.broadcast(parsed_targets), "target_url", "left")
         .select(
@@ -273,6 +282,10 @@ def run_snapshot(
     Pass ``stage_timings={}`` to collect per-stage wall seconds
     (parse / link_cc / agg / write) for round-over-round attribution."""
     pages = add_part_id(pages, n_parts)
+    # redirect targets resolve against the FULL corpus, not the
+    # incremental delta: a page redirecting to a url the parent snapshot
+    # already saw must still resolve (incremental and full runs agree)
+    pages_full = pages
 
     prior_lineage: Optional[DataFrame] = None
     prior_seen: Optional[DataFrame] = None
@@ -291,7 +304,12 @@ def run_snapshot(
     # resolution union re-reads this cache, never re-runs the parse
     raw = parse_pages(todo)
     raw.cache()
-    parsed = resolve_meta_refresh(raw, pages) if resolve_redirects else raw
+    caches: list = [raw]
+    parsed = (
+        resolve_meta_refresh(raw, pages_full, cache_registry=caches)
+        if resolve_redirects
+        else raw
+    )
     parsed = parsed.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
@@ -307,7 +325,8 @@ def run_snapshot(
             prior_lineage, prior_seen, incremental_from, stage_timings,
         )
     finally:
-        raw.unpersist()
+        for df in caches:
+            df.unpersist()
 
 
 def _run_snapshot_body(
@@ -330,6 +349,33 @@ def _run_snapshot_body(
     # cached mapping (the broadcast dimension of the salted author join,
     # consumed by three write jobs); unpersisted after the commits
     canon = link_and_canonicalize(parsed)
+    try:
+        return _commit_snapshot(
+            spark, pages, parsed, canon, out_root, snapshot_id, n_parts,
+            n_buckets, prior_lineage, prior_seen, incremental_from,
+            stage_timings, t0,
+        )
+    finally:
+        canon.unpersist()
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    pages: DataFrame,
+    parsed: DataFrame,
+    canon: DataFrame,
+    out_root: str,
+    snapshot_id: int,
+    n_parts: int,
+    n_buckets: int,
+    prior_lineage: Optional[DataFrame],
+    prior_seen: Optional[DataFrame],
+    incremental_from: Optional[int],
+    stage_timings: Optional[dict[str, float]],
+    t0: float,
+) -> dict[str, Any]:
+    import time
+
     triples, nodes, edges = materialize_graph(parsed, canon, snapshot_id, n_parts)
     if stage_timings is not None:
         stage_timings["link_cc_sec"] = round(time.perf_counter() - t0, 3)
@@ -403,7 +449,6 @@ def _run_snapshot_body(
         edges = edges.unionByName(prev_edges.select(*edges.columns)).dropDuplicates(
             ["src", "dst", "pred"]
         )
-        bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
 
     nodes_b = nodes.withColumn("bucket", bucket)
     edges_b = edges.withColumn(
@@ -429,7 +474,6 @@ def _run_snapshot_body(
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     if stage_timings is not None:
         stage_timings["write_sec"] = round(time.perf_counter() - t0, 3)
-    canon.unpersist()
     return {
         "snapshot_id": snapshot_id,
         "pages": stats["n_pages"],

@@ -191,3 +191,43 @@ class TestStoredPayloadDecompression:
         # brotli isn't shipped in this sandbox -> deterministic error row
         assert row.error_class == "decompress_error"
         assert "brotli" in row.error
+
+    def test_duplicate_target_rows_do_not_fan_out(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        # the target url appears TWICE in PAGES (re-crawl): the
+        # redirecting row must still resolve to exactly one output row
+        pages = spark.createDataFrame(
+            [
+                ("https://o.example/", None, bytearray(_redirect_html("https://t.example/feed.xml")), None, "en"),
+                ("https://t.example/feed.xml", None, bytearray(_RSS), None, "en"),
+                ("https://t.example/feed.xml", None, bytearray(_RSS), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        parsed = parse_pages(pages)
+        resolved = resolve_meta_refresh(parsed, pages)
+        n = resolved.filter("url = 'https://o.example/'").count()
+        assert n == 1
+
+    def test_incremental_run_resolves_target_seen_by_parent(self, spark, tmp_path):
+        from ffp_spark.pipeline import run_snapshot
+        from ffp_spark.snapshots import read_snapshot
+
+        target = ("https://t.example/feed.xml", None, bytearray(_RSS), None, "en")
+        base = spark.createDataFrame([target], _PAGES_DDL)
+        run_snapshot(spark, base, str(tmp_path), snapshot_id=1, n_parts=4)
+        # snapshot 2 adds only the redirecting page; its target was seen
+        # by the parent — resolution must still find it in the corpus
+        grown = spark.createDataFrame(
+            [
+                target,
+                ("https://o.example/", None, bytearray(_redirect_html("https://t.example/feed.xml")), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        rep = run_snapshot(
+            spark, grown, str(tmp_path), snapshot_id=2, n_parts=4, incremental_from=1
+        )
+        assert rep["pages"] == 1  # only the delta parsed
+        assert rep["errors"] == {}  # the redirect resolved, not an error

@@ -134,3 +134,62 @@ class TestRealCodecs:
             # a pure sine of amplitude A has RMS ~ A/sqrt(2)
             assert r.peak > 900
             assert abs(r.rms - r.peak / math.sqrt(2)) / r.peak < 0.05
+
+
+class TestCorruptMediaDegradesGracefully:
+    def test_corrupt_payloads_never_fail_tasks(self, spark):
+        import struct
+
+        # PNG signature + corrupt IDAT (zlib.error), truncated IHDR
+        # (struct.error), truncated v1 mvhd (struct.error), corrupt WAV
+        bad_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 100) + b"IDAT" + b"garbage"
+        trunc_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+        trunc_mp4 = (
+            struct.pack(">I", 16) + b"ftypmp42" + b"mp42"
+            + struct.pack(">I", 24) + b"moov"
+            + struct.pack(">I", 16) + b"mvhd" + b"\x01\x00\x00\x00" + b"\x00" * 4
+        )
+        bad_wav = b"RIFF" + struct.pack("<I", 100) + b"WAVEfmt " + b"\x02"
+        rows = [
+            {"media_id": "png_bad", "kind": "image", "payload": bad_png, "mime": None, "duration_ms": None},
+            {"media_id": "png_trunc", "kind": "image", "payload": trunc_png, "mime": None, "duration_ms": None},
+            {"media_id": "mp4_trunc", "kind": "video", "payload": trunc_mp4, "mime": None, "duration_ms": None},
+            {"media_id": "wav_bad", "kind": "audio", "payload": bad_wav, "mime": None, "duration_ms": None},
+        ]
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        from ffp_spark.multimodal import decode_audio, probe_media
+
+        # none of these may raise — degraded rows come back instead
+        decoded = decode_images(df.filter("kind = 'image'")).collect()
+        assert len(decoded) == 2
+        assert all(r.width is not None and len(r.pixels) == r.width * r.height * 3 for r in decoded)
+        probed = {r.media_id: r for r in probe_media(df).collect()}
+        assert len(probed) == 4
+        assert probed["mp4_trunc"].duration_ms is None
+        audio = decode_audio(df.filter("kind = 'audio'")).collect()
+        assert len(audio) == 1 and audio[0].sample_rate is None
+
+    def test_8bit_wav_silence_has_zero_rms(self, spark):
+        import struct
+
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        # 8-bit PCM silence is 0x80 per the spec
+        data = b"\x80" * 8000
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        riff += b"data" + struct.pack("<I", len(data)) + data
+        wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        info = mc.wav_decode(wav)
+        assert info["sample_rate"] == 8000 and info["n_frames"] == 8000
+        assert int(np.max(np.abs(info["samples"]))) == 0  # silence decodes to 0
+
+    def test_jpeg_dims_with_fill_bytes(self):
+        from ffp_spark import mediacodec as mc
+
+        plain = mc.jpeg_header(111, 222)
+        # inject legal 0xFF fill bytes before the APP0 marker
+        filled = plain[:2] + b"\xff\xff\xff" + plain[2:]
+        assert mc.jpeg_dims(plain) == (111, 222)
+        assert mc.jpeg_dims(filled) == (111, 222)
