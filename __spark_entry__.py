@@ -971,6 +971,70 @@ def _q_media_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_probe_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media metadata decode end-to-end: REAL WAV (PCM16) and MP4
+    (mvhd box) payloads are built from doc_id arithmetic, probe_media
+    extracts duration/rate via pure-Python codec parsing, and the oracle
+    recomputes the histogram from the same arithmetic."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ffp_spark import mediacodec as mc
+    from ffp_spark.multimodal import MEDIA_SCHEMA, probe_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        out_schema = to_arrow_schema(MEDIA_SCHEMA)
+        for batch in batches:
+            rows = []
+            for doc_id in batch.column("doc_id").to_pylist():
+                d = int(doc_id)
+                if d % 2 == 0:
+                    dur = (d % 10 + 1) * 100  # ms
+                    samples = np.zeros(8000 * dur // 1000, dtype=np.int16)
+                    payload = mc.wav_encode(samples, sample_rate=8000)
+                    kind = "audio"
+                else:
+                    dur = (d % 7 + 1) * 1000
+                    payload = mc.mp4_box(mvhd_timescale=1000, mvhd_duration=dur)
+                    kind = "video"
+                rows.append(
+                    {
+                        "media_id": f"d{d}",
+                        "kind": kind,
+                        "payload": payload,
+                        "mime": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    media = docs.mapInArrow(gen, schema=MEDIA_SCHEMA)
+    return (
+        probe_media(media)
+        .groupBy("mime", "duration_ms")
+        .agg(F.count("*").alias("n"))
+        .orderBy("mime", "duration_ms")
+    )
+
+
+_ORACLE_ONLY["media_probe_durations"] = """
+SELECT mime, duration_ms, count(*) AS n
+FROM (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 10 + 1) * 100
+                   ELSE (doc_id % 7 + 1) * 1000 END AS BIGINT) AS duration_ms
+  FROM documents
+)
+GROUP BY mime, duration_ms
+ORDER BY mime, duration_ms
+"""
+
+
 _ORACLE_ONLY["media_mime_counts"] = """
 SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
        WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
@@ -1000,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lang_id_confusion"] = _q_lang_id_confusion
     out["quality_scores"] = _q_quality_scores
     out["media_mime_counts"] = _q_media_mime_counts
+    out["media_probe_durations"] = _q_media_probe_durations
     return out
 
 
