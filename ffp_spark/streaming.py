@@ -82,6 +82,21 @@ def windowed_pred_counts(
     )
 
 
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming dedup: first-seen url wins ACROSS micro-batches.
+
+    Uses Spark's native stateful dropDuplicates — the state store keeps
+    one entry per url, and the `warc_ts` watermark lets state for urls
+    older than the watermark be evicted, so the operator runs forever on
+    an unbounded crawl without unbounded memory (the training-pipeline
+    requirement: a re-crawled page must not re-enter the corpus within
+    the dedup horizon)."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,

@@ -76,3 +76,50 @@ def test_deep_nesting_in_item_content():
     )
     out = parse_feed(xml)
     assert out["entries"][0]["content"][0]["value"]
+
+
+def test_decompress_path_exception_tightness():
+    """_maybe_decompress must raise ValueError (-> error row) or return
+    bytes — never zlib.error/gzip/OSError — for any input, with or
+    without a declared content_encoding."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from ffp_spark.udfs import _maybe_decompress
+
+    rng = random.Random(77)
+    encodings = [None, "", "gzip", "deflate", "br", "x-gzip", "identity", "weird"]
+    fixture = FIXTURES[0].read_bytes() if FIXTURES else b"<rss/>"
+    seeds = [
+        b"", b"\x1f\x8b", b"\x1f\x8b\x08\x00garbage", b"\x78\x9c", b"\x78\x9cxx",
+        b"\x78\x01", b"\x78\xda\x00", b"xml starts here",
+        _gzip.compress(fixture), _zlib.compress(fixture),
+        _gzip.compress(fixture)[:20],  # truncated stream
+        _zlib.compress(fixture)[:10],
+    ]
+    for _ in range(200):
+        n = rng.randint(0, 400)
+        seeds.append(bytes(rng.getrandbits(8) for _ in range(n)))
+    for payload in seeds:
+        for enc in encodings:
+            try:
+                out = _maybe_decompress(payload, enc)
+                assert isinstance(out, bytes)
+            except ValueError:
+                pass
+            # any other exception type propagates and fails the test
+
+
+def test_gzip_roundtrip_of_every_fixture_parses_identically():
+    import gzip as _gzip
+
+    for f in FIXTURES:
+        raw = f.read_bytes()
+        try:
+            want = parse_feed(raw)
+        except ValueError:
+            continue
+        from ffp_spark.udfs import _maybe_decompress
+
+        got = parse_feed(_maybe_decompress(_gzip.compress(raw), None))
+        assert got == want, f.name

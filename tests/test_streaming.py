@@ -84,3 +84,30 @@ def test_windowed_counts_have_watermark_and_match_batch(spark, tmp_path, landing
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_is_stateful_across_batches(spark, tmp_path):
+    from ffp_spark.streaming import stream_dedup_pages
+
+    d = tmp_path / "dedup_landing"
+    # the same 30 urls land twice (two files = at least two stream inputs)
+    synth_pages(spark, 30, seed=21).coalesce(1).write.mode("append").parquet(str(d))
+    synth_pages(spark, 30, seed=21).coalesce(1).write.mode("append").parquet(str(d))
+    synth_pages(spark, 50, seed=21).coalesce(1).write.mode("append").parquet(str(d))
+
+    from ffp_spark.streaming import stream_pages
+
+    # one file per trigger forces the dedup state to carry across batches
+    deduped = stream_dedup_pages(stream_pages(spark, str(d), max_files_per_trigger=1))
+    out = tmp_path / "dedup_out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 50  # 30 dups suppressed across micro-batches
+    assert got.select("url").distinct().count() == 50
