@@ -70,10 +70,32 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
     )
 
 
+def _parse_targets(pages: DataFrame, targets: DataFrame) -> DataFrame:
+    """Parse the corpus pages whose url appears in ``targets``.
+
+    With AQE on, an empty broadcast build side collapses the semi-join
+    to an empty relation — the common no-redirects case never scans
+    PAGES.  dropDuplicates on url: a target appearing twice in the
+    corpus (re-crawl) must not fan out the redirecting row's output."""
+    target_pages = pages.join(F.broadcast(targets), "url", "left_semi").dropDuplicates(
+        ["url"]
+    )
+    return parse_pages(target_pages).select(
+        F.col("url").alias("target_url"),
+        F.col("feed_type").alias("t_feed_type"),
+        F.col("feed").alias("t_feed"),
+        F.col("entries").alias("t_entries"),
+        F.col("error").alias("t_error"),
+        F.col("error_class").alias("t_error_class"),
+        F.lit(True).alias("t_hit"),
+    )
+
+
 def resolve_meta_refresh(
     parsed: DataFrame,
     pages: DataFrame,
     cache_registry: Optional[list] = None,
+    max_hops: int = 3,
 ) -> DataFrame:
     """Resolve meta-refresh redirects against the at-rest PAGES table.
 
@@ -100,24 +122,53 @@ def resolve_meta_refresh(
         F.expr("substring(error, 14)").alias("target_url"),
     )
     targets = redirects.select(F.col("target_url").alias("url")).distinct()
-    # with AQE on, an empty broadcast build side collapses the semi-join
-    # to an empty relation — the common no-redirects case never scans
-    # PAGES at all.  dropDuplicates on url: a corpus holding a target
-    # twice (re-crawl) must not fan out the redirecting row's output.
-    target_pages = pages.join(F.broadcast(targets), "url", "left_semi").dropDuplicates(
-        ["url"]
-    )
-    parsed_targets = parse_pages(target_pages).select(
-        F.col("url").alias("target_url"),
-        F.col("feed_type").alias("t_feed_type"),
-        F.col("feed").alias("t_feed"),
-        F.col("entries").alias("t_entries"),
-        F.col("error").alias("t_error"),
-        F.col("error_class").alias("t_error_class"),
-        F.lit(True).alias("t_hit"),
-    ).cache()  # tiny; keeps downstream jobs from re-scanning PAGES
+    parsed_targets = _parse_targets(pages, targets).cache()
     if cache_registry is not None:
         cache_registry.append(parsed_targets)
+
+    # follow redirect CHAINS inside the (tiny) target set: a target that
+    # itself meta-refreshes is rewritten by ITS target's parse, like the
+    # reference's recursive retry — bounded by max_hops, so cycles
+    # (A -> B -> A) terminate with the error row intact
+    for _ in range(max_hops - 1):
+        t_red = parsed_targets.filter(
+            F.col("t_error_class") == "meta_refresh"
+        ).select("target_url", F.expr("substring(t_error, 14)").alias("next_url"))
+        if t_red.isEmpty():
+            break
+        next_targets = t_red.select(F.col("next_url").alias("url")).distinct()
+        nxt = _parse_targets(pages, next_targets).select(
+            F.col("target_url").alias("next_url"),
+            F.col("t_feed_type").alias("n_feed_type"),
+            F.col("t_feed").alias("n_feed"),
+            F.col("t_entries").alias("n_entries"),
+            F.col("t_error").alias("n_error"),
+            F.col("t_error_class").alias("n_error_class"),
+            F.col("t_hit").alias("n_hit"),
+        )
+        rewritten = t_red.join(F.broadcast(nxt), "next_url", "left").select(
+            "target_url",
+            F.when(F.col("n_hit"), F.col("n_feed_type")).alias("t_feed_type"),
+            F.when(F.col("n_hit"), F.col("n_feed")).alias("t_feed"),
+            F.when(F.col("n_hit"), F.col("n_entries")).alias("t_entries"),
+            F.when(F.col("n_hit"), F.col("n_error"))
+            .otherwise(F.concat(F.lit("meta_refresh:"), F.col("next_url")))
+            .alias("t_error"),
+            F.when(F.col("n_hit"), F.col("n_error_class"))
+            .otherwise(F.lit("meta_refresh"))
+            .alias("t_error_class"),
+            F.lit(True).alias("t_hit"),
+        )
+        parsed_targets = (
+            parsed_targets.filter(
+                F.col("t_error_class").isNull()
+                | (F.col("t_error_class") != "meta_refresh")
+            )
+            .unionByName(rewritten.select(*parsed_targets.columns))
+            .cache()
+        )
+        if cache_registry is not None:
+            cache_registry.append(parsed_targets)
     resolved = (
         redirects.join(F.broadcast(parsed_targets), "target_url", "left")
         .select(

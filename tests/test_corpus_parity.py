@@ -231,3 +231,35 @@ class TestStoredPayloadDecompression:
         )
         assert rep["pages"] == 1  # only the delta parsed
         assert rep["errors"] == {}  # the redirect resolved, not an error
+
+    def test_redirect_chain_resolves_through_two_hops(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        # A -> B -> C, C is the feed: A and B both end up with C's parse
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/", None, bytearray(_redirect_html("https://b.example/")), None, "en"),
+                ("https://b.example/", None, bytearray(_redirect_html("https://c.example/feed.xml")), None, "en"),
+                ("https://c.example/feed.xml", None, bytearray(_RSS), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        rows = {r.url: r for r in resolve_meta_refresh(parse_pages(pages), pages).collect()}
+        assert rows["https://a.example/"].feed.title == "Target Feed"
+        assert rows["https://b.example/"].feed.title == "Target Feed"
+        assert rows["https://c.example/feed.xml"].feed.title == "Target Feed"
+
+    def test_redirect_cycle_terminates_with_error_row(self, spark):
+        from ffp_spark.pipeline import resolve_meta_refresh
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/", None, bytearray(_redirect_html("https://b.example/")), None, "en"),
+                ("https://b.example/", None, bytearray(_redirect_html("https://a.example/")), None, "en"),
+            ],
+            _PAGES_DDL,
+        )
+        rows = {r.url: r for r in resolve_meta_refresh(parse_pages(pages), pages).collect()}
+        assert len(rows) == 2
+        for r in rows.values():
+            assert r.error_class == "meta_refresh"  # bounded, no hang
