@@ -444,6 +444,34 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# TF-IDF with integer micro-log idf: scores are exact BIGINT products
+# (tf x quantized idf), so ranking is identical across engines; ties
+# break on the term itself.
+_SQL_QUERIES["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * CAST(round(ln(n.n_docs * 1.0 / dfreq.df) * 1000000, 0) AS BIGINT)
+           AS score
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, rn
+"""
+
 _SQL_QUERIES["ngram_jaccard_pairs"] = """
 WITH toks AS (
   SELECT doc_id, tok, pos
@@ -599,6 +627,30 @@ GROUP BY fp
 HAVING count(*) >= 1
 ORDER BY n DESC, fp
 LIMIT 30
+""",
+    "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok != ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * CAST(round(ln(n.n_docs * 1.0 / dfreq.df) * 1000000, 0) AS BIGINT)
+           AS score
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, rn
 """,
     "ngram_jaccard_pairs": """
 WITH toks AS (
