@@ -768,7 +768,10 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("mention_id"),
         F.lower(F.col("text")).alias("norm"),
     )
-    return candidate_pairs(with_signatures(m, mode="word"), min_jaccard=0.3).select(
+    # the band self-join consumes signatures on both sides; checkpoint so
+    # the MinHash UDF runs once (same fix class as the pipeline path)
+    signed = with_signatures(m, mode="word").localCheckpoint(eager=True)
+    return candidate_pairs(signed, min_jaccard=0.3).select(
         "a", "b", F.round("score", 4).alias("score")
     ).orderBy(F.desc("score"), "a", "b")
 

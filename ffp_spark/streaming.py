@@ -97,6 +97,106 @@ def stream_dedup_pages(
     return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
+def feed_session_stats(
+    pages_stream: DataFrame,
+    session_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-feed running session stats (pages seen, entries emitted, first/
+    last crawl ts) that ACCUMULATE across micro-batches.
+
+    This is the escape hatch for stateful logic Spark's built-ins can't
+    express (running per-key aggregates on an append stream).  State is
+    one small tuple per feed url.  Pass ``session_timeout_ms`` on a
+    CONTINUOUS stream to evict idle feeds (bounded state); leave None
+    for bounded drains — with availableNow, a processing-time timeout
+    re-arms on every batch and schedules endless empty timeout batches,
+    so the query never terminates."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    parsed = parse_pages(pages_stream).select(
+        "url",
+        "warc_ts",
+        F.coalesce(F.size("entries"), F.lit(0)).alias("n_entries"),
+        F.when(F.col("error").isNull(), 0).otherwise(1).alias("n_errors"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("n_pages", LongType(), False),
+            StructField("n_entries", LongType(), False),
+            StructField("n_errors", LongType(), False),
+            StructField("first_ts", TimestampType(), True),
+            StructField("last_ts", TimestampType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_pages", LongType(), False),
+            StructField("n_entries", LongType(), False),
+            StructField("n_errors", LongType(), False),
+            StructField("first_ts", TimestampType(), True),
+            StructField("last_ts", TimestampType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (url,) = key
+        n_pages = n_entries = n_errors = 0
+        first_ts = last_ts = None
+        if state.exists:
+            n_pages, n_entries, n_errors, first_ts, last_ts = state.get
+        for pdf in pdfs:
+            n_pages += len(pdf)
+            n_entries += int(pdf["n_entries"].sum())
+            n_errors += int(pdf["n_errors"].sum())
+            ts = pdf["warc_ts"].dropna()
+            if len(ts):
+                lo, hi = ts.min(), ts.max()
+                first_ts = lo if first_ts is None or lo < first_ts else first_ts
+                last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n_pages, n_entries, n_errors, first_ts, last_ts))
+        if session_timeout_ms is not None:
+            state.setTimeoutDuration(session_timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "url": url,
+                    "n_pages": n_pages,
+                    "n_entries": n_entries,
+                    "n_errors": n_errors,
+                    "first_ts": first_ts,
+                    "last_ts": last_ts,
+                }
+            ]
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if session_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return parsed.groupBy("url").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,

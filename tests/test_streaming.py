@@ -111,3 +111,32 @@ def test_stream_dedup_is_stateful_across_batches(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 50  # 30 dups suppressed across micro-batches
     assert got.select("url").distinct().count() == 50
+
+
+def test_feed_session_stats_accumulate_across_batches(spark, tmp_path):
+    from ffp_spark.streaming import feed_session_stats, stream_pages
+
+    d = tmp_path / "sess_landing"
+    # the same 20 urls land in TWO separate files; one file per trigger
+    # forces the custom state to carry across micro-batches
+    synth_pages(spark, 20, seed=31).coalesce(1).write.mode("append").parquet(str(d))
+    synth_pages(spark, 20, seed=31).coalesce(1).write.mode("append").parquet(str(d))
+
+    stats = feed_session_stats(stream_pages(spark, str(d), max_files_per_trigger=1))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (batch, key); the LAST emission per
+    # url carries the accumulated totals
+    rows = spark.sql("SELECT * FROM sess").collect()
+    final = {}
+    for r in rows:
+        final[r.url] = max(final.get(r.url, 0), r.n_pages)
+    assert len(final) == 20
+    assert all(n == 2 for n in final.values()), final  # both batches counted
