@@ -510,18 +510,33 @@ def _commit_snapshot(
     # commit is the marker that this snapshot's work is complete.  A
     # crash anywhere earlier leaves lineage without "done" rows, so a
     # re-run re-derives everything idempotently (see resume merge above).
+    # The four data tables commit CONCURRENTLY (independent dirs and
+    # jobs; Spark schedules multi-threaded jobs fine) — overlapping the
+    # writes hides per-job latency; ordering only matters for lineage.
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.perf_counter()
-    m_triples = write_snapshot(
-        triples, out_root, "triples", snapshot_id, partition_by=["part_id"]
-    )
-    m_nodes = write_snapshot(nodes_b, out_root, "nodes", snapshot_id, partition_by=["bucket"])
-    m_edges = write_snapshot(edges_b, out_root, "edges", snapshot_id, partition_by=["bucket"])
-    # compact url registry: what this snapshot has seen (drives the
-    # incremental anti-join for the NEXT snapshot, K9)
     seen = pages.select("url", "part_id")
     if prior_seen is not None:
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
-    write_snapshot(seen, out_root, "pages_seen", snapshot_id)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_triples = pool.submit(
+            write_snapshot, triples, out_root, "triples", snapshot_id,
+            partition_by=["part_id"],
+        )
+        f_nodes = pool.submit(
+            write_snapshot, nodes_b, out_root, "nodes", snapshot_id,
+            partition_by=["bucket"],
+        )
+        f_edges = pool.submit(
+            write_snapshot, edges_b, out_root, "edges", snapshot_id,
+            partition_by=["bucket"],
+        )
+        f_seen = pool.submit(write_snapshot, seen, out_root, "pages_seen", snapshot_id)
+        m_triples = f_triples.result()
+        m_nodes = f_nodes.result()
+        m_edges = f_edges.result()
+        f_seen.result()
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     if stage_timings is not None:
         stage_timings["write_sec"] = round(time.perf_counter() - t0, 3)
