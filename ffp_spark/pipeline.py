@@ -129,13 +129,15 @@ def resolve_meta_refresh(
     # follow redirect CHAINS inside the (tiny) target set: a target that
     # itself meta-refreshes is rewritten by ITS target's parse, like the
     # reference's recursive retry — bounded by max_hops, so cycles
-    # (A -> B -> A) terminate with the error row intact
+    # (A -> B -> A) terminate with the error row intact.  The hop layers
+    # are built LAZILY and unconditionally: an emptiness probe here would
+    # be an action at plan-construction time (it forced the whole parse
+    # before the stage timers), while an empty next-target set costs
+    # nothing at execution — AQE collapses the empty-build-side joins.
     for _ in range(max_hops - 1):
         t_red = parsed_targets.filter(
             F.col("t_error_class") == "meta_refresh"
         ).select("target_url", F.expr("substring(t_error, 14)").alias("next_url"))
-        if t_red.isEmpty():
-            break
         next_targets = t_red.select(F.col("next_url").alias("url")).distinct()
         nxt = _parse_targets(pages, next_targets).select(
             F.col("target_url").alias("next_url"),
