@@ -138,6 +138,31 @@ def snapshots_of(root: str | Path, table: str) -> list[int]:
     return sorted(ids)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str | Path,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-bucketed parquet table for CO-LOCATED joins (K11 scale
+    path): every join or aggregation keyed on ``bucket_col`` between
+    tables bucketed the same way reads matching buckets side by side
+    with NO exchange — at 100 TB this removes the dominant shuffle from
+    repeated triple/node joins (tests/test_plans.py pins the
+    exchange-free plan).
+
+    Hash-directory bucketing (write_snapshot's partition_by) places
+    files; CATALOG bucketing additionally records the bucket spec so
+    Catalyst can elide the shuffle."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.option("path", str(path)).saveAsTable(name)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint/resume over explicit url-hash partitions
 # ---------------------------------------------------------------------------

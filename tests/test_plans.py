@@ -106,3 +106,29 @@ def test_snapshot_commit_writes_without_rescan(spark, tmp_path):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert len(sc.statusTracker().getJobIdsForGroup("plan-ws")) == 1
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # catalog bucketing co-locates join keys: the subj-keyed self-join
+    # and the subj aggregation read matching buckets with NO shuffle
+    from ffp_spark.snapshots import write_bucketed_table
+
+    t = spark.range(10_000).selectExpr(
+        "concat('s', id % 500) AS subj", "concat('o', id) AS obj"
+    )
+    write_bucketed_table(t, "tb_a", tmp_path / "tb_a", "subj", n_buckets=8)
+    write_bucketed_table(t, "tb_b", tmp_path / "tb_b", "subj", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("tb_a").join(spark.table("tb_b"), "subj")
+        joined.collect()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        agg = spark.table("tb_a").groupBy("subj").count()
+        agg.collect()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
