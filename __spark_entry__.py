@@ -379,11 +379,24 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
+# every user emits every event type in this data, so plain per-type set
+# ops are vacuous (empty EXCEPT at every sf).  The value>150 threshold
+# splits users into overlapping-but-distinct high-value cohorts, so BOTH
+# the EXCEPT and INTERSECT value paths return rows at sf0.001/0.01/0.1
+# (measured: 5/2, 33/34, 369/336).
 _SQL_QUERIES["set_ops_users"] = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
-EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
-ORDER BY user_id
+WITH hi_purchase AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0
+),
+hi_error AS (
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 150.0
+)
+SELECT 'except' AS op, user_id FROM
+  (SELECT user_id FROM hi_purchase EXCEPT SELECT user_id FROM hi_error) x
+UNION ALL
+SELECT 'intersect' AS op, user_id FROM
+  (SELECT user_id FROM hi_purchase INTERSECT SELECT user_id FROM hi_error) y
+ORDER BY op, user_id
 """
 
 _SQL_QUERIES["semi_anti_join"] = """
@@ -757,10 +770,13 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 
 def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates over documents (rows-only check —
-    signature hashing isn't SQL-expressible in DuckDB).  Word-3-gram
-    shingles: char-grams over a shared vocabulary collide so heavily
-    that LSH degenerates to the full n^2 pair set."""
+    """MinHash-LSH near-dup candidates over documents, fully value-
+    oracled: the md5-prefix shingle hash and coefficient-bounded affine
+    permutations are exact int64 arithmetic, so DuckDB replays the whole
+    signature -> band -> candidate -> score pipeline (see
+    _minhash_oracle()).  Word-3-gram shingles: char-grams over a shared
+    vocabulary collide so heavily that LSH degenerates to the full n^2
+    pair set."""
     from ffp_spark.linking import candidate_pairs, with_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -774,6 +790,75 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(signed, min_jaccard=0.3).select(
         "a", "b", F.round("score", 4).alias("score")
     ).orderBy(F.desc("score"), "a", "b")
+
+
+def _minhash_oracle(min_jaccard: float = 0.3) -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline, value-exact:
+
+    * word-3-gram shingles over lower(text) (distinct per doc);
+    * 32-bit md5-prefix shingle hash (= linking.shingle_hash32);
+    * the k=64 seeded affine permutations mod the Carter-Wegman prime
+      just above 2^32 (see linking.MINHASH_PRIME), coefficients rendered
+      below from the SAME numpy seed the Spark UDF uses — a < 2^31 and
+      h < 2^32 keep a*h+b < 2^63, exact in BIGINT;
+    * 16 bands x 4 rows: candidates share a band iff the 4-value slices
+      are equal (Spark hashes the slice; equal slices => equal hashes,
+      and a Murmur3 collision adding a pair here would also have to
+      survive the score filter to diverge — negligible and detectable);
+    * score = matching signature components / k, threshold + ordering
+      identical to the Spark query."""
+    from ffp_spark.linking import MINHASH_PRIME, _permutations
+
+    a, b = _permutations(64, seed=42)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
+    )
+    return f"""
+WITH perms(pid, pa, pb) AS (VALUES {perms}),
+ws AS (
+  SELECT CAST(doc_id AS VARCHAR) AS mid,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT mid, shingle FROM (
+    SELECT mid,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM ws WHERE len(toks) >= 3
+  )
+),
+hv AS (
+  SELECT mid, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+),
+sigc AS (
+  SELECT mid, pid, min((pa * h + pb) % {MINHASH_PRIME}) AS mh
+  FROM hv CROSS JOIN perms GROUP BY mid, pid
+),
+sigs AS (SELECT mid, list(mh ORDER BY pid) AS sig FROM sigc GROUP BY mid),
+bands AS (
+  SELECT mid, pid // 4 AS band_id, list(mh ORDER BY pid) AS bv
+  FROM sigc GROUP BY mid, pid // 4
+),
+cand AS (
+  SELECT DISTINCT b1.mid AS a, b2.mid AS b
+  FROM bands b1 JOIN bands b2
+    ON b1.band_id = b2.band_id AND b1.bv = b2.bv AND b1.mid < b2.mid
+),
+scored AS (
+  SELECT c.a, c.b,
+         list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0
+           AS score
+  FROM cand c JOIN sigs s1 ON s1.mid = c.a JOIN sigs s2 ON s2.mid = c.b
+)
+SELECT a, b, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored WHERE score >= {min_jaccard}
+ORDER BY score DESC, a, b
+"""
+
+
+_ORACLE_ONLY["minhash_lsh_candidates"] = _minhash_oracle()
 
 
 def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,10 +1002,13 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic centroids + one Lloyd step,
-    nprobe=2 cells searched exactly.  Rows-only by design: the Lloyd
-    step's float centroid means aren't bit-reproducible across engines,
-    so cell assignments can't be value-oracled; recall vs the exact
-    knn_bruteforce oracle is asserted in tests/test_ann_textops.py."""
+    nprobe=2 cells searched exactly.  Fully value-oracled: the Lloyd
+    step's centroid means are quantized to integer micro-units
+    (round(avg*1e6) AS BIGINT / 1e6 — the same trick as TF-IDF idf and
+    lang-ID weights), which absorbs float summation-order noise, so
+    DuckDB replays seeds -> assign -> refine -> re-assign -> probe ->
+    exact search value-for-value.  Recall vs the exact knn_bruteforce
+    oracle is additionally asserted in tests/test_ann_textops.py."""
     from ffp_spark.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
@@ -928,6 +1016,55 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10, n_cells=8, nprobe=2).select(
         "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+# DuckDB replay of the full IVF build + search (dim=64, n_cells=8,
+# nprobe=2, k=10).  Cell argmax ties break to the larger cell id on both
+# engines (Spark: struct max; here: ORDER BY s DESC, cell DESC).
+_ORACLE_ONLY["ann_ivf"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC, cell DESC) AS rn
+  FROM e CROSS JOIN seeds
+),
+asg1 AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+mu AS (
+  SELECT cell, i.i AS dim,
+         CAST(round(avg(v[i.i]) * 1000000, 0) AS BIGINT) / 1000000.0 AS m
+  FROM asg1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY cell, i.i
+),
+cent AS (SELECT cell, list(m ORDER BY dim) AS c FROM mu GROUP BY cell),
+a2 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC, cell DESC) AS rn
+  FROM e CROSS JOIN cent
+),
+asg2 AS (SELECT vec_id, v, cell FROM a2 WHERE rn = 1),
+probe AS (
+  SELECT cell FROM cent CROSS JOIN q
+  ORDER BY list_dot_product(c, qv) / sqrt(list_dot_product(c, c)) DESC, cell
+  LIMIT 2
+)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) AS cos_sim
+FROM asg2 CROSS JOIN q
+WHERE cell IN (SELECT cell FROM probe)
+ORDER BY list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+         vec_id
+LIMIT 10
+"""
 
 
 def _q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

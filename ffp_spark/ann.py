@@ -107,7 +107,13 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic seeds (first n_cells ids) + one Lloyd refinement.
     The refinement is posexplode -> groupBy(cell, dim) avg -> re-collect:
-    pure DataFrame ops, shuffles rows*dim scalars once."""
+    pure DataFrame ops, shuffles rows*dim scalars once.
+
+    The per-dimension means are quantized to integer micro-units
+    (round(avg*1e6) as BIGINT / 1e6): the quantized value absorbs
+    float-summation-order noise across partitions AND engines, so cell
+    assignment against the refined centroids is cross-engine exact —
+    the driver's DuckDB oracle replays this entire build."""
     seeds = (
         emb.orderBy(id_col).limit(n_cells)
         .select(
@@ -120,7 +126,7 @@ def ivf_centroids(
     refined = (
         assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("dim", "x"))
         .groupBy("cell", "dim")
-        .agg(F.avg("x").alias("mu"))
+        .agg((F.round(F.avg("x") * 1e6, 0).cast("long") / F.lit(1e6)).alias("mu"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("pairs"))
         .select("cell", F.transform("pairs", lambda p: p["mu"]).alias("centroid"))
@@ -131,16 +137,35 @@ def ivf_centroids(
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine cell via a broadcast cross
-    join with the tiny centroid table + max_by reduce."""
+    """Assign each vector to its best cell in ONE projection: the (tiny)
+    centroid table is collected and inlined as literal arrays, so the
+    assignment plan has NO join, NO exchange and NO row multiplication
+    (the previous shape crossJoined x n_cells then groupBy-shuffled the
+    full vector corpus — at 10^9 vectors that shuffles everything once
+    per index build; tests/test_plans.py pins the exchange-free plan).
+
+    Similarity is dot(v, c)/|c|: |v| is constant across cells so dropping
+    it cannot change the argmax.  Ties break to the LARGER cell id via
+    struct max — deterministic and replayable in SQL (row_number ordered
+    by s DESC, cell DESC).  For huge n_cells (thousands+) the literal
+    expression would outgrow codegen — chunk or fall back to a broadcast
+    join there; IVF cell counts in this engine are <= a few hundred."""
+    rows = sorted(
+        centroids.select("cell", "centroid").collect(), key=lambda r: int(r.cell)
+    )
     v = _as_double(vec_col)
-    joined = emb.crossJoin(F.broadcast(centroids))
-    c = F.col("centroid")
-    sim = _dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c)))
-    scored = joined.select(F.col(id_col), F.col(vec_col), F.col("cell"), sim.alias("s"))
-    return (
-        scored.groupBy(id_col)
-        .agg(F.max_by("cell", "s").alias("cell"), F.first(vec_col).alias(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot(v, _lit_vec(r.centroid))
+                 / F.sqrt(_dot(_lit_vec(r.centroid), _lit_vec(r.centroid)))).alias("s"),
+                F.lit(int(r.cell)).alias("cell"),
+            )
+            for r in rows
+        ]
+    )
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.array_max(scored)["cell"].alias("cell")
     )
 
 
@@ -157,10 +182,12 @@ def ivf_topk(
     q = _lit_vec(query)
     c = F.col("centroid")
     cell_sim = _dot(c, q) / (F.sqrt(_dot(c, c)))
+    # deterministic probe order: similarity desc, then cell id (the same
+    # tiebreak the SQL oracle uses)
     probe_cells = [
         r.cell
         for r in centroids.select("cell", cell_sim.alias("s"))
-        .orderBy(F.desc("s")).limit(nprobe).collect()
+        .orderBy(F.desc("s"), "cell").limit(nprobe).collect()
     ]
     return cosine_topk(
         assigned.filter(F.col("cell").isin(probe_cells)), query, k=k,

@@ -28,15 +28,38 @@ from .triples import exploded_entries
 
 MINHASH_K = 64  # permutations
 LSH_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5
-_MERSENNE_P = (1 << 61) - 1
+# Carter-Wegman prime JUST ABOVE the 32-bit hash domain.  The modulus
+# must exceed max(h) by only a little: (a*h+b) mod p then wraps ~2^30
+# times across the domain, scrambling the h-order independently per
+# (a, b) — true min-wise-independent-style permutations.  (A large
+# modulus like 2^61-1 keeps the map monotone in h across its ~4 wraps,
+# so every "permutation" samples the SAME h-order and the Jaccard
+# estimate biases low — measured 25/64 agreement on a true-0.7 pair.)
+MINHASH_PRIME = 4294967311
 _SHINGLE_W = 3
+
+# permutation coefficients are bounded below 2^31 so that a*h + b with a
+# 32-bit shingle hash stays under 2^63: the affine transform is EXACT in
+# int64 on every engine (numpy, Spark BIGINT, DuckDB BIGINT) — no silent
+# wraparound, which is what makes the signatures cross-engine replayable
+_COEF_BOUND = 1 << 31
 
 
 def _permutations(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_P, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE_P, size=k, dtype=np.int64)
+    a = rng.randint(1, _COEF_BOUND, size=k, dtype=np.int64)
+    b = rng.randint(0, _COEF_BOUND, size=k, dtype=np.int64)
     return a, b
+
+
+def shingle_hash32(s: str) -> int:
+    """32-bit md5-prefix shingle hash — the same value DuckDB computes
+    with CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT), so the whole
+    MinHash signature (k affine permutations mod a Mersenne prime over
+    these hashes) is replayable as pure integer SQL in any engine."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
 
 
 def minhash_udf(
@@ -50,16 +73,19 @@ def minhash_udf(
     a shared vocabulary collide massively (measured: char-3 on synthetic
     docs LSH-buckets ~everything together -> O(n^2) candidates).
 
-    Shingles hashed with crc32 (stable across processes, unlike builtin
-    hash()), then k affine permutations mod a Mersenne prime, vectorized
-    with numpy broadcasting per input string.
+    Shingles hashed with the 32-bit md5 prefix (`shingle_hash32` — stable
+    across processes AND engines), then k affine permutations mod a
+    Mersenne prime, vectorized with numpy broadcasting per input string.
+    Every step is exact int64 arithmetic, so a SQL engine can replay the
+    signatures value-for-value (the driver's DuckDB oracle does).
     """
     a, b = _permutations(k, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(col: pd.Series) -> pd.Series:
-        import zlib
+        import hashlib
 
+        md5 = hashlib.md5
         out = []
         for s in col:
             if s is None:
@@ -79,12 +105,16 @@ def minhash_udf(
                     continue
                 shingles = {s[i : i + width] for i in range(len(s) - width + 1)}
             h = np.fromiter(
-                (zlib.crc32(sh.encode("utf-8")) for sh in shingles),
+                (
+                    int.from_bytes(md5(sh.encode("utf-8")).digest()[:4], "big")
+                    for sh in shingles
+                ),
                 dtype=np.int64,
                 count=len(shingles),
             )
-            # (k, n) affine transforms; min over shingles per permutation
-            sig = ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE_P).min(axis=1)
+            # (k, n) affine transforms; min over shingles per permutation.
+            # a < 2^31 and h < 2^32 keep a*h + b < 2^63: exact, no wrap.
+            sig = ((a[:, None] * h[None, :] + b[:, None]) % MINHASH_PRIME).min(axis=1)
             out.append(sig)
         return pd.Series(out)
 

@@ -132,3 +132,18 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+
+def test_ivf_assignment_is_projection_only(spark):
+    # IVF cell assignment inlines the collected centroid table as literal
+    # arrays: the assignment plan must contain NO join and NO exchange
+    # (the old crossJoin+groupBy shape shuffled the full vector corpus
+    # once per index build).
+    from ffp_spark.ann import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter("vec_id <> 0")
+    cent = ivf_centroids(emb, n_cells=4)
+    assigned = ivf_assign(emb, cent)
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
