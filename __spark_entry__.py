@@ -26,6 +26,12 @@ _ORACLE_ONLY: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    # one-task ICU warmup before any wide lower()/upper() stage — Spark
+    # 4.1 lazily loads ICU case-map data and a 32-thread first touch
+    # lock-convoys for tens of seconds (see pipeline.warm_collation)
+    from ffp_spark.pipeline import warm_collation
+
+    warm_collation(spark)
     for n in names:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
@@ -37,8 +43,11 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse doc-feeds at sf0.001, emit triples, count by pred."""
     from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.pipeline import warm_collation
     from ffp_spark.triples import emit_triples
     from ffp_spark.udfs import parse_pages
+
+    warm_collation(spark)
 
     docs = load_documents(spark, "/root/testdata/sf0.001")
     pages = documents_as_pages(docs)
@@ -57,6 +66,35 @@ def _q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_ONLY["kg_pred_counts"] = """
+SELECT p.pred AS pred, (SELECT count(*) FROM documents) AS n
+FROM (VALUES ('publishedAt'), ('author'), ('partOfFeed'), ('hasEntry')) p(pred)
+ORDER BY pred
+"""
+
+
+def _q_stream_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 (Structured Streaming ingest) value oracle: the SAME doc-feed
+    corpus drained through the file-source stream (availableNow trigger,
+    maxFilesPerTrigger backpressure forcing multiple micro-batches,
+    checkpoint WAL) must produce exactly the batch pipeline's per-pred
+    triple counts — pure doc_id arithmetic DuckDB replays."""
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.streaming import run_stream_to_table
+
+    base = tempfile.mkdtemp(prefix="ffp_stream_q_")
+    landing, out, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    # four landing files + two files per trigger => at least two
+    # micro-batches: cross-batch behavior is exercised, not simulated
+    pages.coalesce(4).write.mode("overwrite").parquet(landing)
+    run_stream_to_table(spark, landing, out, ckpt, max_files_per_trigger=2)
+    triples = spark.read.parquet(out)
+    return triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
+_ORACLE_ONLY["stream_triple_counts"] = """
 SELECT p.pred AS pred, (SELECT count(*) FROM documents) AS n
 FROM (VALUES ('publishedAt'), ('author'), ('partOfFeed'), ('hasEntry')) p(pred)
 ORDER BY pred
@@ -1246,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["entry_enclosures"] = _q_entry_enclosures
     out["entry_media"] = _q_entry_media
     out["kg_pred_counts"] = _q_kg_pred_counts
+    out["stream_triple_counts"] = _q_stream_triple_counts
     out["kg_author_cards"] = _q_kg_author_cards
     out["kg_published_days"] = _q_kg_published_days
     out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates

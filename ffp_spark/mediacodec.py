@@ -190,6 +190,221 @@ def gif_dims(payload: bytes) -> Optional[tuple[int, int]]:
     return int(w), int(h)
 
 
+# --- GIF pixel codec (real LZW, pure Python + numpy) -----------------------
+#
+# Encoder: palette-based GIF87a writer for images with <= 256 distinct
+# colors (variable-width LZW, deferred width growth per the GIF spec).
+# Decoder: first image block -> (h, w, 3) RGB via the global/local color
+# table; handles interlace and mid-stream CLEAR codes.  Together they
+# close the `_FAKE_DECODE` seam for GIF in multimodal.decode_images.
+
+
+class _BitWriter:
+    """LSB-first bit packer feeding GIF's <=255-byte sub-block framing."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.bytes = bytearray()
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.bytes.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.bytes.append(self.acc & 0xFF)
+        out = bytearray()
+        for i in range(0, len(self.bytes), 255):
+            chunk = self.bytes[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)  # block terminator
+        return bytes(out)
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _BitWriter()
+    width = min_code_size + 1
+    table: dict[bytes, int] = {}
+    next_code = eoi + 1
+    w.put(clear, width)
+    prefix = b""
+    for k in indices.tobytes():
+        cand = prefix + bytes([k])
+        if len(cand) > 1 and cand in table:
+            prefix = cand
+            continue
+        if len(cand) == 1:
+            prefix = cand
+            continue
+        w.put(table[prefix] if len(prefix) > 1 else prefix[0], width)
+        table[cand] = next_code
+        next_code += 1
+        # encoder runs one entry AHEAD of the decoder: bump width when
+        # next_code == (1 << width) + 1 so emitted codes match the
+        # decoder's deferred width growth (GIF spec, not TIFF early-change)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        prefix = bytes([k])
+        if next_code == 4096:
+            w.put(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+    if prefix:
+        w.put(table[prefix] if len(prefix) > 1 else prefix[0], width)
+    w.put(eoi, width)
+    return w.finish()
+
+
+def gif_encode(rgb: np.ndarray) -> bytes:
+    """Minimal real GIF87a: one frame, global color table built from the
+    image's distinct colors (<= 256 required), real variable-width LZW."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("gif_encode expects (h, w, 3) uint8")
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("gif_encode supports <= 256 distinct colors")
+    # color table size is a power of two >= 2 entries
+    ct_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    min_code_size = max(2, ct_bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (ct_bits - 1))  # GCT present, 2^ct_bits entries
+    out += b"\x00\x00"  # bg color, aspect
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # no LCT
+    out.append(min_code_size)
+    out += _lzw_encode(indices.astype(np.uint8), min_code_size)
+    out.append(0x3B)
+    return bytes(out)
+
+
+class _BitReader:
+    """LSB-first bit reader over concatenated GIF data sub-blocks."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def get(self, width: int) -> Optional[int]:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                return None
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    r = _BitReader(data)
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: Optional[bytes] = None
+    while len(out) < n_pixels:
+        code = r.get(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real GIF pixel decode: first image block, global or local color
+    table, interlace supported.  Returns (width, height, (h, w, 3) uint8)."""
+    if len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _, _, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code_size, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            de = np.zeros_like(idx)
+            de[np.asarray(order)] = idx
+            idx = de
+        rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+        return int(iw), int(ih), rgb.astype(np.uint8)
+    raise ValueError("no image block")
+
+
 # ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------

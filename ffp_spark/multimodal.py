@@ -4,9 +4,10 @@ Decode support in this environment (no PIL/ffmpeg, but struct/zlib are
 stdlib — see mediacodec.py):
 
 * REAL: PNG pixel decode (8-bit RGB/RGBA, filters 0-4), PNG encode,
-  JPEG/GIF header dimensions, WAV PCM sample decode + audio features,
-  MP4 mvhd duration — all pure-Python byte parsing.
-* STUB behind `_FAKE_DECODE`: JPEG/GIF *pixel* decode (needs libjpeg)
+  GIF pixel decode (variable-width LZW, interlace) + palette GIF
+  encode, JPEG/GIF header dimensions, WAV PCM sample decode + audio
+  features, MP4 mvhd duration — all pure-Python byte parsing.
+* STUB behind `_FAKE_DECODE`: JPEG *pixel* decode (needs libjpeg)
   and video *frame* decode (needs ffmpeg) — deterministic fakes with
   the real signatures so batch shapes and downstream ops are testable.
 
@@ -38,9 +39,10 @@ from pyspark.sql.types import (
 
 from . import mediacodec as mc
 
-# JPEG/GIF pixel and video frame decode produce deterministic fakes in
-# this sandbox instead of raising NotImplementedError.  PNG pixels, WAV
-# samples and all header metadata are decoded for real (mediacodec.py).
+# JPEG pixel and video frame decode produce deterministic fakes in
+# this sandbox instead of raising NotImplementedError.  PNG/GIF pixels,
+# WAV samples and all header metadata are decoded for real
+# (mediacodec.py).
 _FAKE_DECODE = True
 
 MEDIA_SCHEMA = StructType(
@@ -135,6 +137,12 @@ def _decode_image_row(media_id: str, payload: bytes) -> dict:
             pixels = arr.tobytes()
         except Exception:  # zlib.error / struct.error / ValueError alike
             w = h = pixels = None
+    elif payload.startswith(b"GIF8"):
+        try:
+            w, h, arr = mc.gif_decode(payload)  # real LZW pixel decode
+            pixels = arr.tobytes()
+        except Exception:  # corrupt LZW/color table degrades below
+            w = h = pixels = None
     if pixels is None:
         try:
             dims = mc.jpeg_dims(payload) or mc.gif_dims(payload)
@@ -155,8 +163,9 @@ def _decode_image_row(media_id: str, payload: bytes) -> dict:
 def decode_images(df: DataFrame) -> DataFrame:
     """Binary image column -> (width, height, RGB bytes).
 
-    PNG payloads decode FOR REAL (mediacodec.png_decode: zlib inflate +
-    per-row unfilter; RGBA drops alpha).  JPEG/GIF get real header
+    PNG and GIF payloads decode FOR REAL (mediacodec.png_decode: zlib
+    inflate + per-row unfilter; mediacodec.gif_decode: variable-width
+    LZW + color table, interlace-aware).  JPEG gets real header
     dimensions but fake pixel bytes (pixel decode needs libjpeg — the
     `_FAKE_DECODE` seam); unknown/corrupt payloads degrade to fake
     dims+pixels, never a task failure.  mapInArrow: binary through
@@ -321,8 +330,24 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
             pixels = batch.column("pixels").to_pylist()
             rows = []
             for media_id, w, h, px in zip(ids, widths, heights, pixels):
-                src = np.frombuffer(bytes(px), dtype=np.uint8)
-                src = src[: int(w) * int(h) * 3].reshape(int(h), int(w), 3)
+                # corrupt-media containment: a crafted PNG can declare
+                # zero/negative dims (empty pixels) — degrade to a NULL
+                # pixel row instead of failing the task on the numpy
+                # fancy-index.
+                w = int(w) if w is not None else 0
+                h = int(h) if h is not None else 0
+                src = np.frombuffer(bytes(px) if px is not None else b"", dtype=np.uint8)
+                if w <= 0 or h <= 0 or len(src) < w * h * 3:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": out_w,
+                            "height": out_h,
+                            "pixels": None,
+                        }
+                    )
+                    continue
+                src = src[: w * h * 3].reshape(h, w, 3)
                 ys = (np.arange(out_h) * h // out_h).astype(int)
                 xs = (np.arange(out_w) * w // out_w).astype(int)
                 out = src[ys][:, xs]

@@ -45,13 +45,38 @@ def add_part_id(pages: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFrame:
     )
 
 
+def warm_collation(spark: SparkSession) -> None:
+    """Force ICU case-mapping data to load on ONE task before any wide
+    stage calls lower()/upper().
+
+    Spark 4.1's CollationSupport lazily initializes ICU's case-map
+    tables on the first non-ASCII lower(); with 32 executor threads
+    hitting that first-touch simultaneously the class-init lock convoys
+    (measured on this box: 50-80 s for a distinct over 25k strings that
+    takes 0.6 s warm — thread dump shows all 32 threads in
+    CollationSupport$Lower.execBinaryICU).  A single-partition warmup
+    initializes the JVM once (~1 s) and the wide stages run at full
+    speed.  On a multi-executor cluster this must run once per executor
+    JVM — schedule one tiny task per executor; in local mode one task
+    covers the only JVM."""
+    if getattr(spark, "_ffp_collation_warm", False):
+        return
+    from pyspark.sql import functions as F
+
+    spark.range(1, numPartitions=1).select(
+        F.lower(F.lit("Ωmega Łódź İstanbul ДЕЖ")).alias("x"),
+        F.upper(F.lit("straße ǳ")).alias("y"),
+    ).collect()
+    spark._ffp_collation_warm = True
+
+
 def build_session(app: str, master: Optional[str] = None, shuffle_partitions: int = 64) -> SparkSession:
     import os
 
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
-    return (
+    spark = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -68,6 +93,8 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    warm_collation(spark)
+    return spark
 
 
 def _parse_targets(pages: DataFrame, targets: DataFrame) -> DataFrame:
@@ -204,6 +231,7 @@ def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFr
     Returns an eagerly-materialized CACHED mapping (tiny: one row per
     distinct surface) — callers join it repeatedly and must not replay
     the LSH machinery; call ``.unpersist()`` when done."""
+    warm_collation(parsed.sparkSession)  # before the wide lower() stage
     mentions = extract_mentions(parsed)
     distinct_surfaces = mentions.select("norm").where(
         F.col("norm").isNotNull() & (F.col("norm") != "")
@@ -334,6 +362,12 @@ def run_snapshot(
     snapshot over a physical delta, Iceberg-style).
     Pass ``stage_timings={}`` to collect per-stage wall seconds
     (parse / link_cc / agg / write) for round-over-round attribution."""
+    from datetime import datetime, timezone
+
+    # lineage schema carries the run's wall-clock bracket; captured here
+    # (run start), finished_ts at commit time.  Naive UTC to match the
+    # session timezone convention.
+    started_ts = datetime.now(timezone.utc).replace(tzinfo=None)
     pages = add_part_id(pages, n_parts)
     # redirect targets resolve against the FULL corpus, not the
     # incremental delta: a page redirecting to a url the parent snapshot
@@ -376,6 +410,7 @@ def run_snapshot(
         return _run_snapshot_body(
             spark, pages, parsed, out_root, snapshot_id, n_parts, n_buckets,
             prior_lineage, prior_seen, incremental_from, stage_timings,
+            started_ts=started_ts,
         )
     finally:
         for df in caches:
@@ -394,6 +429,7 @@ def _run_snapshot_body(
     prior_seen: Optional[DataFrame],
     incremental_from: Optional[int],
     stage_timings: Optional[dict[str, float]] = None,
+    started_ts=None,
 ) -> dict[str, Any]:
     import time
 
@@ -406,7 +442,7 @@ def _run_snapshot_body(
         return _commit_snapshot(
             spark, pages, parsed, canon, out_root, snapshot_id, n_parts,
             n_buckets, prior_lineage, prior_seen, incremental_from,
-            stage_timings, t0,
+            stage_timings, t0, started_ts,
         )
     finally:
         canon.unpersist()
@@ -426,6 +462,7 @@ def _commit_snapshot(
     incremental_from: Optional[int],
     stage_timings: Optional[dict[str, float]],
     t0: float,
+    started_ts=None,
 ) -> dict[str, Any]:
     import time
 
@@ -450,9 +487,6 @@ def _commit_snapshot(
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .withColumn("status", F.lit("done"))
     )
-    lineage = lineage_new
-    if prior_lineage is not None:
-        lineage = lineage_new.unionByName(prior_lineage.select(*lineage_new.columns))
 
     bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
 
@@ -521,24 +555,47 @@ def _commit_snapshot(
     seen = pages.select("url", "part_id")
     if prior_seen is not None:
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
+    from .snapshots import write_snapshot_bucketed
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_triples = pool.submit(
             write_snapshot, triples, out_root, "triples", snapshot_id,
             partition_by=["part_id"],
         )
+        # nodes/edges commit THROUGH the catalog-bucketed writer (K11):
+        # the serving join key (node_id == src) reads co-located buckets
+        # with zero exchange by default — at 100 TB the repeated
+        # node/edge joins are the dominant shuffle this removes
         f_nodes = pool.submit(
-            write_snapshot, nodes_b, out_root, "nodes", snapshot_id,
-            partition_by=["bucket"],
+            write_snapshot_bucketed, nodes_b, out_root, "nodes", snapshot_id,
+            bucket_col="node_id", n_buckets=n_buckets,
         )
         f_edges = pool.submit(
-            write_snapshot, edges_b, out_root, "edges", snapshot_id,
-            partition_by=["bucket"],
+            write_snapshot_bucketed, edges_b, out_root, "edges", snapshot_id,
+            bucket_col="src", n_buckets=n_buckets,
         )
         f_seen = pool.submit(write_snapshot, seen, out_root, "pages_seen", snapshot_id)
         m_triples = f_triples.result()
         m_nodes = f_nodes.result()
         m_edges = f_edges.result()
         f_seen.result()
+    # lineage rows carry the run's wall-clock bracket (SURVEY §1.2
+    # schema): started_ts = run_snapshot entry, finished_ts = after the
+    # data-table commits, i.e. when this snapshot's work was durable.
+    # Commit metadata is the one place wall clock is allowed (datagen
+    # and linking stay deterministic); prior rows keep their own stamps.
+    from datetime import datetime, timezone
+
+    finished_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+    lineage = lineage_new.withColumn(
+        "started_ts", F.lit(started_ts)
+    ).withColumn("finished_ts", F.lit(finished_ts))
+    if prior_lineage is not None:
+        prior = prior_lineage
+        for c in ("started_ts", "finished_ts"):  # pre-schema tables
+            if c not in prior.columns:
+                prior = prior.withColumn(c, F.lit(None).cast("timestamp"))
+        lineage = lineage.unionByName(prior.select(*lineage.columns))
     m_lineage = write_snapshot(lineage, out_root, "lineage", snapshot_id, extra=stats)
     if stage_timings is not None:
         stage_timings["write_sec"] = round(time.perf_counter() - t0, 3)

@@ -163,6 +163,127 @@ def write_bucketed_table(
     writer.option("path", str(path)).saveAsTable(name)
 
 
+def _catalog_name(root: str | Path, table: str, snapshot_id: int, staging: bool = False) -> str:
+    """Deterministic session-catalog name for a committed bucketed table;
+    the root-path hash keeps concurrent test roots from colliding."""
+    import zlib
+
+    tag = zlib.crc32(str(Path(root).resolve()).encode()) & 0xFFFFFFFF
+    prefix = "_stg_ffp" if staging else "ffp"
+    return f"{prefix}_{table}_s{snapshot_id}_{tag:08x}"
+
+
+def _bucket_ddl(df: DataFrame) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def write_snapshot_bucketed(
+    df: DataFrame,
+    root: str | Path,
+    table: str,
+    snapshot_id: int,
+    bucket_col: str,
+    n_buckets: int = 16,
+    extra: Optional[dict[str, Any]] = None,
+) -> dict[str, Any]:
+    """Atomic snapshot commit THROUGH the catalog-bucketed writer (K11):
+    the committed files carry bucket ids in their names and the manifest
+    records the bucket spec, so the serving read path
+    (`read_snapshot_bucketed`) joins/aggregates on ``bucket_col`` with
+    ZERO exchange — bucketing is the default, not a demo.
+
+    Protocol matches `write_snapshot`: data lands in ``_tmp-<id>`` (via
+    a staging catalog entry, since bucketBy requires saveAsTable), is
+    os.replace'd into ``snap-<id>`` — bucket file names survive the
+    rename, which is what lets the final CLUSTERED BY table re-point at
+    them — then manifest and CURRENT swap in with fsync."""
+    spark = df.sparkSession
+    tdir = _table_dir(root, table)
+    tdir.mkdir(parents=True, exist_ok=True)
+    tmp = tdir / f"_tmp-{snapshot_id}"
+    final = tdir / f"snap-{snapshot_id}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    stg = _catalog_name(root, table, snapshot_id, staging=True)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    spark.sql(f"DROP TABLE IF EXISTS {stg}")
+    try:
+        (
+            observed.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", str(tmp))
+            .saveAsTable(stg)
+        )
+        n_rows = int(obs.get["n"])
+        if final.exists():
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+    finally:
+        # external table: dropping removes metadata only, never the
+        # (already renamed) data files
+        spark.sql(f"DROP TABLE IF EXISTS {stg}")
+
+    name = _catalog_name(root, table, snapshot_id)
+    ddl = _bucket_ddl(df)
+    create = (
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{final}'"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(create)
+
+    manifest = {
+        "table": table,
+        "snapshot_id": snapshot_id,
+        "parent_snapshot_id": current_snapshot_id(root, table),
+        "row_count": n_rows,
+        "partition_by": [],
+        "bucket_by": bucket_col,
+        "n_buckets": n_buckets,
+        "catalog_table": name,
+        "create_ddl": create,
+        "schema": df.schema.jsonValue(),
+    }
+    if extra:
+        manifest["extra"] = extra
+
+    mpath = tdir / f"manifest-{snapshot_id}.json"
+    mtmp = tdir / f"_manifest-{snapshot_id}.json.tmp"
+    mtmp.write_text(json.dumps(manifest, indent=2))
+    _fsync_replace(mtmp, mpath)
+
+    ctmp = tdir / "_CURRENT.tmp"
+    ctmp.write_text(str(snapshot_id))
+    _fsync_replace(ctmp, tdir / "CURRENT")
+    return manifest
+
+
+def read_snapshot_bucketed(
+    spark: SparkSession,
+    root: str | Path,
+    table: str,
+    snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Serving read path for bucketed commits: returns the CATALOG table
+    (bucket-spec-aware — joins on the bucket key need no exchange),
+    re-registering it from the manifest's DDL in a fresh session.
+    Falls back to the plain directory read for non-bucketed commits."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root, table)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot for table {table} under {root}")
+    manifest = read_manifest(root, table, sid)
+    name = manifest.get("catalog_table")
+    if not name:
+        return read_snapshot(spark, root, table, sid)
+    if not spark.catalog.tableExists(name):
+        spark.sql(manifest["create_ddl"])
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint/resume over explicit url-hash partitions
 # ---------------------------------------------------------------------------

@@ -88,13 +88,20 @@ def stream_dedup_pages(
 ) -> DataFrame:
     """Stateful streaming dedup: first-seen url wins ACROSS micro-batches.
 
-    Uses Spark's native stateful dropDuplicates — the state store keeps
-    one entry per url, and the `warc_ts` watermark lets state for urls
-    older than the watermark be evicted, so the operator runs forever on
-    an unbounded crawl without unbounded memory (the training-pipeline
-    requirement: a re-crawled page must not re-enter the corpus within
-    the dedup horizon)."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    Uses ``dropDuplicatesWithinWatermark``: the state store keeps one
+    entry per url and GENUINELY evicts it once the watermark passes the
+    first occurrence's event time + delay.  Plain
+    ``dropDuplicates(["url"])`` would never evict here — Spark's
+    streaming dedup only applies the watermark predicate when the
+    event-time column is among the dedup keys — so url state would grow
+    forever on an unbounded crawl and re-crawls outside the horizon
+    would stay suppressed.  With the within-watermark variant a page
+    re-crawled after the horizon re-enters the corpus, which is the
+    training-pipeline semantics we document (dedup *within* the
+    horizon, not forever)."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def feed_session_stats(
@@ -107,11 +114,14 @@ def feed_session_stats(
 
     This is the escape hatch for stateful logic Spark's built-ins can't
     express (running per-key aggregates on an append stream).  State is
-    one small tuple per feed url.  Pass ``session_timeout_ms`` on a
-    CONTINUOUS stream to evict idle feeds (bounded state); leave None
-    for bounded drains — with availableNow, a processing-time timeout
-    re-arms on every batch and schedules endless empty timeout batches,
-    so the query never terminates."""
+    one small tuple per feed url.  Pass ``session_timeout_ms`` to evict
+    idle feeds: when a key's processing-time timeout fires, update()
+    emits one FINAL stats row and removes the state, so idle-key memory
+    is actually freed and the key is never re-emitted until new data
+    arrives for it (a fresh session).  Leave None for bounded
+    availableNow drains: an armed processing-time timeout makes Spark
+    keep scheduling timeout batches, so such drains must be stopped
+    explicitly (awaitTermination(timeout) + stop) rather than awaited."""
     import pandas as pd  # noqa: F401  (worker-side import)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -154,6 +164,25 @@ def feed_session_stats(
         import pandas as pd
 
         (url,) = key
+        if state.hasTimedOut:
+            # idle-feed eviction: emit the final accumulated row once,
+            # then FREE the state — no re-arm, no duplicate re-emission
+            # on later timeout intervals.
+            n_pages, n_entries, n_errors, first_ts, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "url": url,
+                        "n_pages": n_pages,
+                        "n_entries": n_entries,
+                        "n_errors": n_errors,
+                        "first_ts": first_ts,
+                        "last_ts": last_ts,
+                    }
+                ]
+            )
+            return
         n_pages = n_entries = n_errors = 0
         first_ts = last_ts = None
         if state.exists:

@@ -53,6 +53,36 @@ def test_decode_resize_shapes(spark, media):
     assert {r.media_id: bytes(r.pixels) for r in resized} == again
 
 
+def test_resize_contains_zero_dim_images(spark):
+    """A crafted PNG can declare zero width in IHDR (decodes to real
+    dims 0 x h with empty pixels); resize must degrade to a NULL-pixel
+    row, never fail the task (corrupt-media containment)."""
+    import numpy as np
+
+    from ffp_spark import mediacodec as mc
+    from ffp_spark.multimodal import DECODED_IMAGE_SCHEMA
+
+    zero_png = mc.png_encode(np.zeros((4, 0, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            ("z0", "image", bytearray(zero_png), None, None),
+            ("ok", "image", bytearray(mc.png_encode(np.full((4, 4, 3), 7, np.uint8))), None, None),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    decoded = decode_images(media)
+    # also exercise the guard directly on hand-built degenerate rows
+    degenerate = spark.createDataFrame(
+        [("d0", 0, 4, bytearray(b"")), ("d1", 4, 0, bytearray(b"")), ("d2", 4, 4, bytearray(b"\x00" * 5))],
+        schema=DECODED_IMAGE_SCHEMA,
+    )
+    rows = {r.media_id: r for r in resize_images(decoded.union(degenerate), 8, 8).collect()}
+    assert len(rows) == 5  # no task failure
+    assert rows["ok"].pixels is not None and len(rows["ok"].pixels) == 8 * 8 * 3
+    for mid in ("z0", "d0", "d1", "d2"):
+        assert rows[mid].pixels is None, mid
+
+
 def test_frame_sampling_row_counts(spark, media):
     frames = sample_frames(media, every_ms=500)
     counts = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
@@ -82,7 +112,121 @@ def test_embeddings_feed_ann(spark, media):
     assert all(abs(r.sq - 1.0) < 1e-3 for r in norms)
 
 
+class TestGifCodec:
+    """Pure-codec tests (no Spark): real LZW encode/decode byte-parity."""
+
+    def test_gif_roundtrip_small_palette(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(11)
+        # 4-value channel space keeps distinct colors <= 64
+        img = (rng.randint(0, 4, (17, 23, 3)) * 85).astype(np.uint8)
+        payload = mc.gif_encode(img)
+        assert payload.startswith(b"GIF87a")
+        assert mc.gif_dims(payload) == (23, 17)
+        w, h, out = mc.gif_decode(payload)
+        assert (w, h) == (23, 17)
+        assert out.tobytes() == img.tobytes()  # byte-exact
+
+    def test_gif_roundtrip_code_width_growth(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(5)
+        # 256 distinct colors + a large image drives the LZW dictionary
+        # through several code-width bumps (9 -> 12 bits)
+        vals = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+        img = np.stack([vals, vals ^ 0x5A, (vals * 3).astype(np.uint8)], axis=2)
+        payload = mc.gif_encode(img)
+        w, h, out = mc.gif_decode(payload)
+        assert out.tobytes() == img.tobytes()
+
+    def test_gif_roundtrip_dictionary_reset(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(13)
+        # enough entropy to overflow the 4096-entry dictionary and force
+        # a mid-stream CLEAR + reset on both sides
+        vals = (rng.randint(0, 16, (128, 128)) * 17).astype(np.uint8)
+        img = np.stack([vals, vals, vals], axis=2)
+        payload = mc.gif_encode(img)
+        _, _, out = mc.gif_decode(payload)
+        assert out.tobytes() == img.tobytes()
+
+    def test_gif_two_color_and_flat(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        flat = np.full((9, 7, 3), 200, dtype=np.uint8)
+        _, _, out = mc.gif_decode(mc.gif_encode(flat))
+        assert out.tobytes() == flat.tobytes()
+        bw = np.zeros((8, 8, 3), dtype=np.uint8)
+        bw[::2, ::2] = 255
+        _, _, out = mc.gif_decode(mc.gif_encode(bw))
+        assert out.tobytes() == bw.tobytes()
+
+    def test_gif_interlaced_decode(self):
+        import numpy as np
+        import struct
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(3)
+        img = (rng.randint(0, 4, (16, 5, 3)) * 80).astype(np.uint8)
+        # encode the rows in GIF pass order, then set the interlace flag:
+        # the decoder must de-interlace back to the original row order
+        order = (
+            list(range(0, 16, 8)) + list(range(4, 16, 8))
+            + list(range(2, 16, 4)) + list(range(1, 16, 2))
+        )
+        inter = bytearray(mc.gif_encode(img[np.asarray(order)]))
+        inter[inter.index(b"\x2c") + 9] |= 0x40
+        w, h, out = mc.gif_decode(bytes(inter))
+        assert out.tobytes() == img.tobytes()
+
+    def test_gif_corrupt_streams_raise_cleanly(self):
+        import pytest
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        payload = bytearray(mc.gif_encode(img))
+        with pytest.raises(ValueError):
+            mc.gif_decode(b"GIF87a\x04\x00")  # truncated header
+        truncated = bytes(payload[: len(payload) // 2])
+        with pytest.raises(Exception):
+            mc.gif_decode(truncated)
+        too_many = np.zeros((32, 32, 3), dtype=np.uint8)  # 1024 distinct colors
+        flat = too_many.reshape(-1, 3)
+        flat[:, 0] = np.arange(1024) % 256
+        flat[:, 1] = np.arange(1024) // 256
+        with pytest.raises(ValueError):
+            mc.gif_encode(too_many)
+
+
 class TestRealCodecs:
+    def test_gif_decode_roundtrip_through_spark(self, spark):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(9)
+        imgs = {
+            f"g{i}": (rng.randint(0, 4, (8 + i, 9 + i, 3)) * 85).astype(np.uint8)
+            for i in range(3)
+        }
+        rows = [
+            {"media_id": k, "kind": "image", "payload": mc.gif_encode(v),
+             "mime": None, "duration_ms": None}
+            for k, v in imgs.items()
+        ]
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        got = {r.media_id: r for r in decode_images(df).collect()}
+        for k, v in imgs.items():
+            r = got[k]
+            assert (r.width, r.height) == (v.shape[1], v.shape[0])
+            assert bytes(r.pixels) == v.tobytes()  # REAL GIF pixels
+
     def test_png_decode_roundtrip_through_spark(self, spark):
         import numpy as np
         from ffp_spark import mediacodec as mc

@@ -89,6 +89,39 @@ class TestPipeline:
         assert (
             lineage.agg(F.sum("n_pages").alias("s")).collect()[0].s == 120
         )
+        # SURVEY §1.2 schema: every lineage row carries the run's
+        # wall-clock bracket (started at run entry, finished at commit)
+        stamps = lineage.select("started_ts", "finished_ts").collect()
+        assert stamps and all(
+            r.started_ts is not None
+            and r.finished_ts is not None
+            and r.started_ts <= r.finished_ts
+            for r in stamps
+        )
+
+    def test_committed_nodes_edges_join_without_exchange(self, spark, tmp_path):
+        """The production commit path writes nodes/edges through the
+        catalog-bucketed writer: the serving join (node_id == src) must
+        read co-located buckets with ZERO exchange."""
+        from ffp_spark.snapshots import read_snapshot_bucketed
+
+        pages = synth_pages(spark, 80, seed=5)
+        run_snapshot(spark, pages, str(tmp_path), snapshot_id=1, n_parts=8)
+        nodes = read_snapshot_bucketed(spark, tmp_path, "nodes")
+        edges = read_snapshot_bucketed(spark, tmp_path, "edges")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = nodes.join(edges, nodes.node_id == edges.src)
+            assert joined.count() > 0
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # plain directory reads still serve the same rows (non-catalog
+        # consumers and resume merges are unaffected by the bucketed commit)
+        assert read_snapshot(spark, tmp_path, "nodes").count() == nodes.count()
+        assert read_snapshot(spark, tmp_path, "edges").count() == edges.count()
 
     def test_resume_skips_done_partitions_and_converges(self, spark, tmp_path):
         pages = synth_pages(spark, 120, seed=3)

@@ -113,6 +113,117 @@ def test_stream_dedup_is_stateful_across_batches(spark, tmp_path):
     assert got.select("url").distinct().count() == 50
 
 
+def test_stream_dedup_state_evicts_past_watermark(spark, tmp_path):
+    """A url re-crawled AFTER the watermark horizon must re-enter the
+    corpus (state evicted), not stay suppressed forever."""
+    from ffp_spark.streaming import stream_dedup_pages, stream_pages
+
+    d = tmp_path / "evict_landing"
+    t0 = "2024-01-01 00:00:00"
+
+    def land(n, seed, ts, prefix=""):
+        df = synth_pages(spark, n, seed=seed).withColumn(
+            "warc_ts", F.lit(ts).cast("timestamp")
+        )
+        if prefix:
+            df = df.withColumn("url", F.concat(F.lit(prefix), F.col("url")))
+        df.coalesce(1).write.mode("append").parquet(str(d))
+
+    land(30, 21, t0)  # batch 1: 30 urls at T0
+    # batch 2: one unrelated url (disjoint by prefix) 10h later ->
+    # watermark advances to T0+8h for the NEXT batch
+    land(1, 99, "2024-01-01 10:00:00", prefix="advancer-")
+    # batch 3: another advancer; during/after this batch the T0 state
+    # (expiry T0+2h) is evicted under the T0+8h watermark — state
+    # cleanup runs a batch behind the watermark update
+    land(1, 98, "2024-01-01 10:00:00", prefix="advancer2-")
+    # batch 4: the SAME 30 urls again at T0+9h — outside the 2h horizon,
+    # so they must be re-admitted
+    land(30, 21, "2024-01-01 09:00:00")
+
+    deduped = stream_dedup_pages(
+        stream_pages(spark, str(d), max_files_per_trigger=1), watermark="2 hours"
+    )
+    out = tmp_path / "evict_out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    # 30 (first crawl) + 2 (advancers) + 30 (re-crawl past the horizon)
+    assert got.count() == 62
+
+
+def test_feed_session_stats_timeout_evicts_state(spark, tmp_path):
+    """On a processing-time timeout the operator must emit ONE final row
+    and free the state — never re-arm and re-emit idle keys forever."""
+    from ffp_spark.streaming import feed_session_stats, stream_pages
+
+    d = tmp_path / "timeout_landing"
+
+    # three files with DISJOINT url sets (explicit prefix — synth domains
+    # can collide across seeds); one file per trigger => keys from file 1
+    # are idle during batches 2 and 3
+    def land(tag, seed):
+        (
+            synth_pages(spark, 5, seed=seed)
+            .withColumn("url", F.concat(F.lit(tag), F.col("url")))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+
+    land("b1-", 41)
+    land("b2-", 42)
+    land("b3-", 43)
+
+    stats = feed_session_stats(
+        stream_pages(spark, str(d), max_files_per_trigger=1), session_timeout_ms=1
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sess_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def emissions():
+        out = {}
+        for r in spark.sql("SELECT url FROM sess_evict").collect():
+            out[r.url] = out.get(r.url, 0) + 1
+        return out
+
+    # a query with an armed ProcessingTimeTimeout keeps scheduling
+    # timeout batches, so availableNow never self-terminates: poll until
+    # every key got its data emission + exactly one timeout final, then
+    # let a few more timeout batches run to prove nothing re-emits
+    deadline = 120
+    while deadline > 0:
+        got = emissions()
+        if len(got) == 15 and all(n >= 2 for n in got.values()):
+            break
+        q.awaitTermination(2)
+        deadline -= 2
+    settle_from = (q.lastProgress or {}).get("batchId", 0)
+    while ((q.lastProgress or {}).get("batchId", 0)) < settle_from + 3 and deadline > 0:
+        q.awaitTermination(2)
+        deadline -= 2
+    got = emissions()
+    q.stop()
+    # one data emission + EXACTLY one timeout final per key; with the
+    # old re-arm bug every later timeout batch re-emitted all idle keys
+    assert len(got) == 15, got
+    assert all(n == 2 for n in got.values()), got
+    # state store actually freed after the finals
+    assert (q.lastProgress["stateOperators"][0]["numRowsTotal"]) == 0
+
+
 def test_feed_session_stats_accumulate_across_batches(spark, tmp_path):
     from ffp_spark.streaming import feed_session_stats, stream_pages
 
