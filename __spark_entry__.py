@@ -822,9 +822,12 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("mention_id"),
         F.lower(F.col("text")).alias("norm"),
     )
-    # the band self-join consumes signatures on both sides; checkpoint so
-    # the MinHash UDF runs once (same fix class as the pipeline path)
-    signed = with_signatures(m, mode="word").localCheckpoint(eager=True)
+    # the band self-join consumes signatures on both sides; cache so the
+    # MinHash UDF runs once (same fix class as the pipeline path).  Lazy
+    # cache beats eager localCheckpoint here (median 6.4s vs 8.0s over
+    # 3x3 runs at sf0.1/32, noisy box): the first consumer populates the
+    # cache in-line instead of paying a separate materialization barrier
+    signed = with_signatures(m, mode="word").cache()
     return candidate_pairs(signed, min_jaccard=0.3).select(
         "a", "b", F.round("score", 4).alias("score")
     ).orderBy(F.desc("score"), "a", "b")
@@ -1265,6 +1268,92 @@ ORDER BY mime, duration_ms
 """
 
 
+def _q_media_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end-to-end, value-oracled: solid-color PNGs
+    (zlib inflate + unfilter) and GIFs (variable-width LZW + color
+    table) are built from doc_id arithmetic, decoded by mediacodec
+    through the Arrow batch path, reduced to per-image byte sums inside
+    the UDF (heavy pixels never shuffle — the 100 TB-safe shape), and
+    aggregated; DuckDB replays the whole thing as integer arithmetic
+    (byte_sum == w*h*3*color, exact because both codecs are lossless)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ffp_spark import mediacodec as mc
+    from ffp_spark.multimodal import MEDIA_SCHEMA, decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        out_schema = to_arrow_schema(MEDIA_SCHEMA)
+        for batch in batches:
+            rows = []
+            for doc_id in batch.column("doc_id").to_pylist():
+                d = int(doc_id)
+                w, h, c = 8 + d % 5, 8 + d % 3, (d * 37) % 256
+                img = np.full((h, w, 3), c, dtype=np.uint8)
+                payload = mc.png_encode(img) if d % 2 == 0 else mc.gif_encode(img)
+                rows.append(
+                    {"media_id": f"{'png' if d % 2 == 0 else 'gif'}:{d}",
+                     "kind": "image", "payload": payload,
+                     "mime": None, "duration_ms": None}
+                )
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    feat_schema = StructType(
+        [
+            StructField("fmt", StringType(), False),
+            StructField("px", LongType(), False),
+            StructField("byte_sum", LongType(), False),
+        ]
+    )
+
+    def feats(batches):
+        out_schema = to_arrow_schema(feat_schema)
+        for batch in batches:
+            rows = []
+            for mid, w, h, px in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("width").to_pylist(),
+                batch.column("height").to_pylist(),
+                batch.column("pixels").to_pylist(),
+            ):
+                rows.append(
+                    {"fmt": mid.split(":", 1)[0], "px": int(w) * int(h),
+                     "byte_sum": sum(bytes(px))}
+                )
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    decoded = decode_images(docs.mapInArrow(gen, schema=MEDIA_SCHEMA))
+    per_image = decoded.mapInArrow(feats, schema=feat_schema)
+    return (
+        per_image.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("px").alias("px"),
+            F.sum("byte_sum").alias("byte_sum"),
+        )
+        .orderBy("fmt")
+    )
+
+
+_ORACLE_ONLY["media_image_pixels"] = """
+SELECT fmt, count(*) AS n, CAST(sum(w*h) AS BIGINT) AS px,
+       CAST(sum(w*h*3*c) AS BIGINT) AS byte_sum
+FROM (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+         8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h, (doc_id * 37) % 256 AS c
+  FROM documents
+)
+GROUP BY fmt
+ORDER BY fmt
+"""
+
+
 _ORACLE_ONLY["media_mime_counts"] = """
 SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
        WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
@@ -1296,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_scores"] = _q_quality_scores
     out["media_mime_counts"] = _q_media_mime_counts
     out["media_probe_durations"] = _q_media_probe_durations
+    out["media_image_pixels"] = _q_media_image_pixels
     return out
 
 

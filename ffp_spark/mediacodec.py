@@ -190,6 +190,466 @@ def gif_dims(payload: bytes) -> Optional[tuple[int, int]]:
     return int(w), int(h)
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (real huffman + DCT, pure Python + numpy)
+# ---------------------------------------------------------------------------
+#
+# Decoder: baseline sequential DCT (SOF0) — canonical Huffman tables
+# from DHT (works with any spec-valid tables, not just ours), DQT,
+# arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart
+# handling, byte-unstuffing, matrix IDCT, YCbCr -> RGB.
+# Encoder: spec-valid baseline writer used by the roundtrip tests and
+# the synthetic corpus.  Its Huffman tables are GENERATED flat prefix
+# codes (all DC symbols at one length, all AC symbols at another) —
+# legal per the spec since the tables travel in DHT; this avoids
+# hand-transcribing Annex K and keeps the encoder ~100 lines.  JPEG is
+# lossy, so tests assert tolerance, not byte equality.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II basis: F = C @ B @ C.T, B = C.T @ F @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _huff_flat(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A legal canonical table with every symbol at the same code length
+    (smallest L with 2^L > len(symbols), so the all-ones code stays
+    reserved per the spec)."""
+    L = 1
+    while (1 << L) <= len(symbols):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _canon_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by canonical assembly (spec C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, offset bits) per spec F.1.2.1 (EXTEND inverse)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def jpeg_encode(
+    rgb: np.ndarray,
+    quant: int = 2,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JPEG writer: YCbCr, 8x8 DCT, uniform quantization
+    (``quant``), generated-flat Huffman tables shipped in DHT."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects (h, w, 3) uint8")
+    if not 2 <= int(quant) <= 255:
+        # quant 1 can produce 11-bit AC magnitudes, outside the AC
+        # symbol alphabet (sizes 1-10); 2 already bounds them to 10 bits
+        raise ValueError("quant must be in [2, 255]")
+    h, w = rgb.shape[:2]
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+
+    if subsample == "420":
+        hs, vs = 2, 2
+    elif subsample == "422":
+        hs, vs = 2, 1
+    elif subsample == "444":
+        hs, vs = 1, 1
+    else:
+        raise ValueError(f"unsupported subsampling {subsample}")
+
+    def pad_to(a: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        return np.pad(a, ((0, mh - a.shape[0]), (0, mw - a.shape[1])), mode="edge")
+
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    gh = (h + mcu_h - 1) // mcu_h * mcu_h
+    gw = (w + mcu_w - 1) // mcu_w * mcu_w
+    y = pad_to(y, gh, gw)
+    cb = pad_to(cb, gh, gw)
+    cr = pad_to(cr, gh, gw)
+    if (hs, vs) != (1, 1):  # box-filter chroma downsample
+        cb = cb.reshape(gh // vs, vs, gw // hs, hs).mean(axis=(1, 3))
+        cr = cr.reshape(gh // vs, vs, gw // hs, hs).mean(axis=(1, 3))
+
+    qtab = np.full(64, int(quant), dtype=np.int64)
+    dc_bits, dc_vals = _huff_flat(_DC_SYMS)
+    ac_bits, ac_vals = _huff_flat(_AC_SYMS)
+    dc_codes = _canon_codes(dc_bits, dc_vals)
+    ac_codes = _canon_codes(ac_bits, ac_vals)
+
+    def block_coeffs(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+        b = plane[by : by + 8, bx : bx + 8] - 128.0
+        fq = np.round((_DCT_C @ b @ _DCT_C.T).reshape(64)[_ZIGZAG] / qtab)
+        return fq.astype(np.int64)
+
+    wtr = _JBitWriter()
+    pred = [0, 0, 0]
+
+    def emit_block(zz: np.ndarray, ci: int) -> None:
+        size, bits = _magnitude(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        c, ln = dc_codes[size]
+        wtr.put(c, ln)
+        if size:
+            wtr.put(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                wtr.put(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            wtr.put(c, ln)
+            wtr.put(bits, size)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            wtr.put(c, ln)
+
+    n_mcux, n_mcuy = gw // mcu_w, gh // mcu_h
+    mcu_i = 0
+    rst = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[:] = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    emit_block(
+                        block_coeffs(y, my * mcu_h + by * 8, mx * mcu_w + bx * 8), 0
+                    )
+            emit_block(block_coeffs(cb, my * 8, mx * 8), 1)
+            emit_block(block_coeffs(cr, my * 8, mx * 8), 2)
+            mcu_i += 1
+    wtr.align()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qtab.astype(np.uint8).tobytes())  # table 0 (uniform: zigzag == natural order)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, (hs << 4) | vs, 0])
+    sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JBitReader:
+    """MSB-first reader over entropy data; unstuffs 0xFF00, stops at
+    markers and reports RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: Optional[int] = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.n < 25:
+            if self.pos >= len(d):
+                return self.n > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.marker = nxt
+                    return self.n > 0
+                else:
+                    self.marker = nxt
+                    return self.n > 0
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return True
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            if not self._fill() or self.n < k:
+                if self.marker is not None:
+                    # pad past the marker with 1s (spec-permitted fill)
+                    self.acc = (self.acc << (k - self.n)) | ((1 << (k - self.n)) - 1)
+                    self.n = k
+                    break
+                raise ValueError("truncated entropy data")
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, consume the RSTn marker, resume."""
+        self.acc = 0
+        self.n = 0
+        if self.marker is None:
+            # seek forward to the marker
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                    break
+                self.pos += 1
+        else:
+            self.marker = None
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.maxlen = max((i + 1 for i, b in enumerate(bits) if b), default=0)
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, rdr: _JBitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rdr.bits(1)
+            v = self.lut.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real baseline JPEG decode (SOF0): any DHT tables, 8-bit DQT,
+    4:4:4/4:2:2/4:2:0 sampling, DRI restarts.  Returns
+    (width, height, (h, w, 3) uint8 RGB); grayscale is replicated."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan: list[dict] = []
+    data_start = -1
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported (baseline is 8)")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1):
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported (baseline only)")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if not comps or data_start < 0:
+        raise ValueError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+    rdr = _JBitReader(payload, data_start)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rdr.restart()
+                for k in pred:
+                    pred[k] = 0
+            for s in scan:
+                c = s["comp"]
+                dct_t = huff[(0, s["dc"])]
+                act = huff[(1, s["ac"])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = dct_t.decode(rdr)
+                        diff = _extend(rdr.bits(size), size)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(rdr)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(rdr.bits(rs & 0x0F), rs & 0x0F)
+                            k += 1
+                        coeff = np.zeros(64, dtype=np.float64)
+                        coeff[_ZIGZAG] = zz
+                        block = _DCT_C.T @ (coeff.reshape(8, 8) * q) @ _DCT_C + 128.0
+                        py0 = (my * c["v"] + by) * 8
+                        px0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][py0 : py0 + 8, px0 : px0 + 8] = block
+            mcu_i += 1
+
+    def upsample(c: dict) -> np.ndarray:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        return p[:h, :w]
+
+    if len(comps) == 1:
+        yv = np.clip(upsample(comps[0]), 0, 255).astype(np.uint8)
+        return int(w), int(h), np.stack([yv, yv, yv], axis=2)
+    yv = upsample(comps[0])
+    cbv = upsample(comps[1]) - 128.0
+    crv = upsample(comps[2]) - 128.0
+    r = yv + 1.402 * crv
+    g = yv - 0.344136 * cbv - 0.714136 * crv
+    b = yv + 1.772 * cbv
+    rgb = np.stack([r, g, b], axis=2)
+    return int(w), int(h), np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 # --- GIF pixel codec (real LZW, pure Python + numpy) -----------------------
 #
 # Encoder: palette-based GIF87a writer for images with <= 256 distinct

@@ -5,11 +5,14 @@ stdlib — see mediacodec.py):
 
 * REAL: PNG pixel decode (8-bit RGB/RGBA, filters 0-4), PNG encode,
   GIF pixel decode (variable-width LZW, interlace) + palette GIF
-  encode, JPEG/GIF header dimensions, WAV PCM sample decode + audio
-  features, MP4 mvhd duration — all pure-Python byte parsing.
-* STUB behind `_FAKE_DECODE`: JPEG *pixel* decode (needs libjpeg)
-  and video *frame* decode (needs ffmpeg) — deterministic fakes with
-  the real signatures so batch shapes and downstream ops are testable.
+  encode, BASELINE JPEG decode (canonical Huffman from DHT, matrix
+  IDCT, 4:4:4/4:2:2/4:2:0, DRI restarts) + a spec-valid JPEG encoder,
+  JPEG/GIF header dimensions, WAV PCM sample decode + audio features,
+  MP4 mvhd duration — all pure-Python byte parsing.
+* STUB behind `_FAKE_DECODE`: video *frame* decode only (needs
+  ffmpeg) — a deterministic fake with the real signature so batch
+  shapes and downstream ops are testable.  Progressive JPEG and
+  entropy-corrupt images degrade to header dims + fake pixels.
 
 At 100 TB the pattern is: keep payloads as parquet binary, sniff/route
 JVM-side where possible, decode in Arrow-batched Python with bounded
@@ -39,10 +42,11 @@ from pyspark.sql.types import (
 
 from . import mediacodec as mc
 
-# JPEG pixel and video frame decode produce deterministic fakes in
-# this sandbox instead of raising NotImplementedError.  PNG/GIF pixels,
-# WAV samples and all header metadata are decoded for real
-# (mediacodec.py).
+# Video frame decode produces deterministic fakes in this sandbox
+# instead of raising NotImplementedError (no ffmpeg).  PNG/GIF/baseline-
+# JPEG pixels, WAV samples and all header metadata are decoded for real
+# (mediacodec.py); non-baseline or entropy-corrupt images degrade to
+# header dims + fake pixels via the same seam.
 _FAKE_DECODE = True
 
 MEDIA_SCHEMA = StructType(
@@ -143,6 +147,12 @@ def _decode_image_row(media_id: str, payload: bytes) -> dict:
             pixels = arr.tobytes()
         except Exception:  # corrupt LZW/color table degrades below
             w = h = pixels = None
+    elif payload.startswith(b"\xff\xd8"):
+        try:
+            w, h, arr = mc.jpeg_decode(payload)  # real baseline decode
+            pixels = arr.tobytes()
+        except Exception:  # progressive/corrupt entropy data degrades
+            w = h = pixels = None
     if pixels is None:
         try:
             dims = mc.jpeg_dims(payload) or mc.gif_dims(payload)
@@ -163,13 +173,15 @@ def _decode_image_row(media_id: str, payload: bytes) -> dict:
 def decode_images(df: DataFrame) -> DataFrame:
     """Binary image column -> (width, height, RGB bytes).
 
-    PNG and GIF payloads decode FOR REAL (mediacodec.png_decode: zlib
-    inflate + per-row unfilter; mediacodec.gif_decode: variable-width
-    LZW + color table, interlace-aware).  JPEG gets real header
-    dimensions but fake pixel bytes (pixel decode needs libjpeg — the
-    `_FAKE_DECODE` seam); unknown/corrupt payloads degrade to fake
-    dims+pixels, never a task failure.  mapInArrow: binary through
-    pandas object arrays is the measured 15x cliff.
+    PNG, GIF and baseline JPEG payloads decode FOR REAL
+    (mediacodec.png_decode: zlib inflate + per-row unfilter;
+    gif_decode: variable-width LZW + color table, interlace-aware;
+    jpeg_decode: canonical Huffman + matrix IDCT, subsampling and
+    restart markers).  Progressive JPEG falls back to real header
+    dimensions with fake pixel bytes (the `_FAKE_DECODE` seam);
+    unknown/corrupt payloads degrade to fake dims+pixels, never a task
+    failure.  mapInArrow: binary through pandas object arrays is the
+    measured 15x cliff.
     """
 
     def run(batches):
@@ -432,7 +444,19 @@ def synth_media_rows(n: int, seed: int = 42) -> list[dict]:
             payload = mc.png_encode(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
             kind, dur = "image", None
         elif pick == 1:
-            payload = mc.jpeg_header(32 + d[1] % 64, 32 + d[2] % 64) + (d * 16)[:128]
+            # REAL baseline JPEG (decodable), same dims formula the
+            # probe oracle expects; smooth gradient keeps encode cheap
+            w, h = 32 + d[1] % 64, 32 + d[2] % 64
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * (1 + d[3] % 3)) % 256,
+                    (yy * (1 + d[4] % 3)) % 256,
+                    ((xx + yy) * (1 + d[5] % 2)) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = mc.jpeg_encode(img, quant=4, subsample="420")
             kind, dur = "image", None
         elif pick == 2:
             rate = 8000

@@ -205,6 +205,92 @@ class TestGifCodec:
             mc.gif_encode(too_many)
 
 
+class TestJpegCodec:
+    """Real baseline JPEG: lossy, so roundtrips assert tolerance; flat
+    blocks reconstruct exactly."""
+
+    @staticmethod
+    def _smooth(h, w, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.float64)
+        return np.clip(base + rng.randn(h, w, 3) * 4, 0, 255).astype(np.uint8)
+
+    def test_jpeg_roundtrip_444(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        img = self._smooth(40, 56, 1)
+        p = mc.jpeg_encode(img, quant=2, subsample="444")
+        assert mc.jpeg_dims(p) == (56, 40)
+        w, h, out = mc.jpeg_decode(p)
+        assert (w, h) == (56, 40)
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= 8 and diff.mean() < 2.0, (diff.max(), diff.mean())
+
+    def test_jpeg_roundtrip_subsampled_and_restarts(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        img = self._smooth(33, 41, 2)  # non-multiple-of-MCU dims
+        for sub in ("422", "420"):
+            for ri in (0, 2):
+                w, h, out = mc.jpeg_decode(
+                    mc.jpeg_encode(img, quant=2, subsample=sub, restart_interval=ri)
+                )
+                assert (w, h) == (41, 33)
+                diff = np.abs(out.astype(int) - img.astype(int))
+                # chroma averaging bounds: looser than 4:4:4
+                assert diff.mean() < 5.0 and diff.max() < 48, (sub, ri, diff.max())
+
+    def test_jpeg_flat_color_exact(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        flat = np.full((20, 24, 3), 99, dtype=np.uint8)
+        _, _, out = mc.jpeg_decode(mc.jpeg_encode(flat, quant=2))
+        assert np.array_equal(out, flat)
+
+    def test_jpeg_corrupt_and_unsupported_raise_cleanly(self):
+        import numpy as np
+        import pytest
+        from ffp_spark import mediacodec as mc
+
+        img = np.full((16, 16, 3), 7, dtype=np.uint8)
+        p = bytearray(mc.jpeg_encode(img))
+        with pytest.raises(ValueError):
+            mc.jpeg_decode(b"\x00\x01")
+        with pytest.raises(ValueError):
+            mc.jpeg_encode(img, quant=1)  # 11-bit AC magnitudes
+        # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+        i = bytes(p).find(b"\xff\xc0")
+        p2 = bytearray(p)
+        p2[i + 1] = 0xC2
+        with pytest.raises(ValueError):
+            mc.jpeg_decode(bytes(p2))
+
+    def test_jpeg_decode_through_spark(self, spark):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+        from ffp_spark.multimodal import decode_images
+
+        img = self._smooth(24, 32, 3)
+        rows = [
+            {"media_id": "j0", "kind": "image",
+             "payload": mc.jpeg_encode(img, quant=2),
+             "mime": None, "duration_ms": None}
+        ]
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        r = decode_images(df).collect()[0]
+        assert (r.width, r.height) == (32, 24)
+        got = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(24, 32, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 8  # REAL pixels
+
+
 class TestRealCodecs:
     def test_gif_decode_roundtrip_through_spark(self, spark):
         import numpy as np
