@@ -236,11 +236,15 @@ def link_and_canonicalize(parsed: DataFrame, min_jaccard: float = 0.5) -> DataFr
     distinct_surfaces = mentions.select("norm").where(
         F.col("norm").isNotNull() & (F.col("norm") != "")
     ).distinct().withColumn("mention_id", F.col("norm"))
-    # cache the signatures: the band self-join consumes them on BOTH
-    # sides (probe + representatives), and without the cache the MinHash
-    # UDF and the distinct shuffle execute once per side (measured 2x
-    # the entire linking wall at bench scale)
+    # cache the signatures AND materialize them eagerly: the band
+    # self-join consumes them on BOTH sides (probe + representatives),
+    # and a lazily-populated cache races — both sides of the single
+    # star-edge job compute the UDF + distinct + upstream parsed scans
+    # concurrently before either can publish cache blocks (measured 2x
+    # the entire linking wall).  One count() job up front costs the
+    # signature pass once and every later consumer reads blocks.
     signed = with_signatures(distinct_surfaces).cache()
+    signed.count()
     try:
         # star edges, not all pairs: hot-domain surfaces share buckets and
         # all-pairs is O(bucket^2) — connectivity through the bucket
