@@ -101,6 +101,62 @@ ORDER BY pred
 """
 
 
+def _q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) value
+    oracle: the SAME doc-feed corpus lands TWICE, one file per trigger,
+    so per-feed session state must accumulate ACROSS micro-batches
+    (n_pages=2 per url).  Final totals are pure doc_id arithmetic."""
+    import os
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.streaming import feed_session_stats, stream_pages
+
+    base = tempfile.mkdtemp(prefix="ffp_sess_q_")
+    landing = f"{base}/landing"
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    # two identical drops -> two micro-batches with maxFilesPerTrigger=1
+    pages.coalesce(1).write.mode("append").parquet(landing)
+    pages.coalesce(1).write.mode("append").parquet(landing)
+    name = "sess_stats_" + os.path.basename(base).rsplit("_", 1)[-1]
+    stats = feed_session_stats(stream_pages(spark, landing, max_files_per_trigger=1))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits running totals per (batch, key); the per-url max
+    # IS the final accumulated value (counters are monotone)
+    per_url = (
+        spark.table(name)
+        .groupBy("url")
+        .agg(
+            F.max("n_pages").alias("p"),
+            F.max("n_entries").alias("e"),
+            F.max("n_errors").alias("x"),
+        )
+    )
+    return per_url.agg(
+        F.count("*").alias("n_feeds"),
+        F.sum("p").alias("n_pages"),
+        F.sum("e").alias("n_entries"),
+        F.sum("x").alias("n_errors"),
+    )
+
+
+_ORACLE_ONLY["stream_session_stats"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_feeds,
+       CAST(2 * count(*) AS BIGINT) AS n_pages,
+       CAST(2 * count(*) AS BIGINT) AS n_entries,
+       CAST(0 AS BIGINT) AS n_errors
+FROM documents
+"""
+
+
 def _q_kg_author_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity cardinalities after canonicalization: 5 synthetic authors."""
     from ffp_spark.docfeeds import documents_as_pages, load_documents
@@ -1374,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["entry_media"] = _q_entry_media
     out["kg_pred_counts"] = _q_kg_pred_counts
     out["stream_triple_counts"] = _q_stream_triple_counts
+    out["stream_session_stats"] = _q_stream_session_stats
     out["kg_author_cards"] = _q_kg_author_cards
     out["kg_published_days"] = _q_kg_published_days
     out["minhash_lsh_candidates"] = _q_minhash_lsh_candidates
