@@ -889,29 +889,17 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("score"), "a", "b")
 
 
-def _minhash_oracle(min_jaccard: float = 0.3) -> str:
-    """DuckDB replay of the ENTIRE MinHash-LSH pipeline, value-exact:
-
-    * word-3-gram shingles over lower(text) (distinct per doc);
-    * 32-bit md5-prefix shingle hash (= linking.shingle_hash32);
-    * the k=64 seeded affine permutations mod the Carter-Wegman prime
-      just above 2^32 (see linking.MINHASH_PRIME), coefficients rendered
-      below from the SAME numpy seed the Spark UDF uses — a < 2^31 and
-      h < 2^32 keep a*h+b < 2^63, exact in BIGINT;
-    * 16 bands x 4 rows: candidates share a band iff the 4-value slices
-      are equal (Spark hashes the slice; equal slices => equal hashes,
-      and a Murmur3 collision adding a pair here would also have to
-      survive the score filter to diverge — negligible and detectable);
-    * score = matching signature components / k, threshold + ordering
-      identical to the Spark query."""
+def _minhash_cte_body(min_jaccard: float = 0.3) -> str:
+    """CTE chain (perms .. scored) replaying the MinHash-LSH pipeline in
+    DuckDB — shared by the candidate-pair oracle and the connected-
+    components oracle, which appends a recursive closure on top."""
     from ffp_spark.linking import MINHASH_PRIME, _permutations
 
     a, b = _permutations(64, seed=42)
     perms = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
     )
-    return f"""
-WITH perms(pid, pa, pb) AS (VALUES {perms}),
+    return f"""perms(pid, pa, pb) AS (VALUES {perms}),
 ws AS (
   SELECT CAST(doc_id AS VARCHAR) AS mid,
          list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
@@ -948,7 +936,26 @@ scored AS (
                   i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) / 64.0
            AS score
   FROM cand c JOIN sigs s1 ON s1.mid = c.a JOIN sigs s2 ON s2.mid = c.b
-)
+)"""
+
+
+def _minhash_oracle(min_jaccard: float = 0.3) -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline, value-exact:
+
+    * word-3-gram shingles over lower(text) (distinct per doc);
+    * 32-bit md5-prefix shingle hash (= linking.shingle_hash32);
+    * the k=64 seeded affine permutations mod the Carter-Wegman prime
+      just above 2^32 (see linking.MINHASH_PRIME), coefficients rendered
+      below from the SAME numpy seed the Spark UDF uses — a < 2^31 and
+      h < 2^32 keep a*h+b < 2^63, exact in BIGINT;
+    * 16 bands x 4 rows: candidates share a band iff the 4-value slices
+      are equal (Spark hashes the slice; equal slices => equal hashes,
+      and a Murmur3 collision adding a pair here would also have to
+      survive the score filter to diverge — negligible and detectable);
+    * score = matching signature components / k, threshold + ordering
+      identical to the Spark query."""
+    return f"""
+WITH {_minhash_cte_body(min_jaccard)}
 SELECT a, b, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored WHERE score >= {min_jaccard}
 ORDER BY score DESC, a, b
@@ -1420,6 +1427,180 @@ ORDER BY mime
 """
 
 
+# ---------------------------------------------------------------------------
+# graph analytics over the constructed KG (round 3): degrees, PageRank,
+# triangles, and an end-to-end value oracle for connected components (K7)
+# ---------------------------------------------------------------------------
+
+def _q_kg_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the triple graph built from the doc-feed
+    corpus (parse -> triples -> union of edge endpoints).  The oracle is
+    pure doc_id arithmetic: entries have degree 4 (subj of publishedAt/
+    author/partOfFeed + obj of hasEntry), published-date objects degree
+    1, author nodes degree = |docs with doc_id%5 == r|, and feed nodes —
+    SHARED per source via the channel <link> — degree 2x|docs of that
+    source|."""
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.graph import degree_histogram
+    from ffp_spark.triples import emit_triples
+    from ffp_spark.udfs import parse_pages
+
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    triples = emit_triples(parse_pages(pages))
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return degree_histogram(edges).orderBy("degree")
+
+
+_ORACLE_ONLY["kg_graph_degrees"] = """
+WITH deg AS (
+  SELECT CAST(4 AS BIGINT) AS degree FROM documents
+  UNION ALL SELECT CAST(1 AS BIGINT) FROM documents
+  UNION ALL SELECT CAST(count(*) AS BIGINT) FROM documents GROUP BY doc_id % 5
+  UNION ALL SELECT CAST(2 * count(*) AS BIGINT) FROM documents GROUP BY source
+)
+SELECT degree, count(*) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the customer->supplier order graph
+    (edge iff the customer's order contains the supplier's lineitem).
+    Scores are BIGINT micro-units with integral division throughout, so
+    the 5-iteration recurrence is bit-identical in any engine and under
+    any partitioning — the DuckDB oracle unrolls the same recurrence."""
+    from ffp_spark.graph import pagerank
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        SELECT DISTINCT concat('c', o_custkey) AS src,
+                        concat('s', l_suppkey) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """)
+    scores = pagerank(edges, iters=5)
+    return scores.orderBy(F.desc("pr_q"), "node").limit(20)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    from ffp_spark.graph import PR_SCALE
+
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT n.node,
+         (SELECT (15 * {PR_SCALE}) // (100 * n) FROM nn)
+         + (85 * COALESCE(sum(s.q // od.d), 0)) // 100 AS q
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  LEFT JOIN od ON od.src = e.src
+  GROUP BY n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(q AS BIGINT) AS pr_q FROM s{iters}"
+        + "\nORDER BY pr_q DESC, node LIMIT 20"
+    )
+
+
+_ORACLE_ONLY["graph_pagerank"] = _pagerank_oracle()
+
+
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-order graph (parts co-occurring in
+    >= 2 distinct orders).  Spark side uses degree-ordered orientation
+    (join fan-out bounded by arboricity — the shape that survives
+    power-law degree skew at web scale); the eval-scale oracle is the
+    naive 3-way join, which must agree exactly."""
+    from ffp_spark.graph import triangle_count
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    return triangle_count(edges)
+
+
+_ORACLE_ONLY["graph_triangles"] = """
+WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s1, b.l_partkey AS s2
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+nodes AS (SELECT s1 AS node FROM e UNION SELECT s2 FROM e),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e1.s2 = e2.s1 JOIN e e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles
+"""
+
+
+def _q_link_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end value oracle for operator K7: MinHash-LSH candidate
+    pairs (already value-oracled) feed the alternating large-star/
+    small-star connected-components kernel (cc.py); component sizes
+    must match a DuckDB recursive-CTE closure over the same pairs.
+    Representative = lexicographically smallest member id."""
+    from ffp_spark.cc import connected_components
+    from ffp_spark.linking import candidate_pairs, with_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("mention_id"),
+        F.lower(F.col("text")).alias("norm"),
+    )
+    signed = with_signatures(m, mode="word").cache()
+    pairs = candidate_pairs(signed, min_jaccard=0.3).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), "component_id")
+    )
+
+
+def _link_cc_oracle(min_jaccard: float = 0.3) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_body(min_jaccard)},
+ed AS (SELECT a, b FROM scored WHERE score >= {min_jaccard}),
+und AS (SELECT a AS s, b AS d FROM ed UNION SELECT b, a FROM ed),
+reach(n, m) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT r.n, u.d FROM reach r JOIN und u ON u.s = r.m
+),
+comp AS (SELECT n AS node, min(m) AS component_id FROM reach GROUP BY n)
+SELECT component_id, count(*) AS size
+FROM comp GROUP BY component_id
+ORDER BY size DESC, component_id
+"""
+
+
+_ORACLE_ONLY["link_cc_components"] = _link_cc_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
@@ -1443,6 +1624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_mime_counts"] = _q_media_mime_counts
     out["media_probe_durations"] = _q_media_probe_durations
     out["media_image_pixels"] = _q_media_image_pixels
+    out["kg_graph_degrees"] = _q_kg_graph_degrees
+    out["graph_pagerank"] = _q_graph_pagerank
+    out["graph_triangles"] = _q_graph_triangles
+    out["link_cc_components"] = _q_link_cc_components
     return out
 
 

@@ -1,0 +1,164 @@
+"""Graph analytics over the constructed KG and derived edge lists.
+
+Round-3 additions (tier: KG construction — once the graph is built you
+query it): degree histogram, PageRank, triangle counting.  Connected
+components itself lives in cc.py (operator K7); these compose with it
+(see __spark_entry__.link_cc_components for the end-to-end oracle).
+
+Design-for-scale notes
+----------------------
+* ``degree_histogram`` — two hash aggregations; the node union is a
+  narrow projection, no join.
+* ``pagerank`` — EXACT integer arithmetic: scores are BIGINT
+  micro-units (``scale`` = 1e12 of total mass) and every division is
+  integral (`a div b` in Spark, `//` in DuckDB), so the result is
+  bit-identical regardless of partitioning, summation order, or engine
+  — a float PageRank is not cross-engine reproducible, an integer one
+  is.  Per iteration: one join edges->scores (shuffle on src, edge
+  table cached once) + one groupBy dst.  Scores are localCheckpointed
+  each round so the plan stays O(1) deep instead of O(iters) — same
+  lineage-truncation discipline as cc.py.  Dangling mass (sink nodes)
+  is dropped, the standard simplified damped walk; both engines
+  implement the same definition.
+* ``triangle_count`` — degree-ordered orientation (each undirected
+  edge directed from the (degree, id)-smaller endpoint to the larger):
+  every triangle is counted exactly once and the join fan-out is
+  bounded by arboricity, O(m^1.5) worst case instead of the naive
+  sum-of-deg^2 — the standard MapReduce trick (Suri & Vassilvitskii,
+  WWW'11).  Two self-joins on the oriented edge set; the oriented set
+  is cached so degrees compute once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 10**12  # one unit of PageRank mass, in integer micro-units
+
+
+def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degree histogram: (degree, n_nodes).
+
+    Degree counts edge endpoints (a node on k edges has degree k; both
+    directions of the union contribute).  Two partial-aggregated
+    hash aggs, no join.
+    """
+    ends = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank: (node, pr_q) with pr_q in 1/scale units.
+
+    pr_0(v)   = scale div N
+    pr_i+1(v) = (15 * scale) div (100 * N)
+              + (85 * sum_{u->v} (pr_i(u) div outdeg(u))) div 100
+
+    All divisions integral => associative integer sums => deterministic
+    and engine-independent (the DuckDB oracle unrolls the same
+    recurrence).  Edges and out-degrees are computed once and cached;
+    each iteration is one shuffle-join + one aggregation.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_edges = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    base_q = (15 * scale) // (100 * n)
+
+    scores = nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q"))
+    for _ in range(iters):
+        contrib = (
+            contrib_edges.join(scores, contrib_edges.src == scores.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr_q div outdeg").alias("cq"),
+            )
+            .groupBy("node")
+            .agg(F.sum("cq").alias("in_q"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_q, 0L)) div 100"
+                    )
+                ).cast("long").alias("pr_q"),
+            )
+            # truncate lineage every round: without this the plan depth
+            # (and re-execution risk) grows linearly with iters
+            .localCheckpoint(eager=True)
+        )
+    return scores
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count via degree-ordered orientation.
+
+    Returns a single row (n_nodes, n_edges, n_triangles).  The closing
+    edge of an oriented wedge u->v->w is necessarily oriented u->w
+    (the (degree, id) order is total and transitive), so one join of
+    the wedge set against the oriented edge set counts each triangle
+    exactly once.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ends = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    # orient from (degree, id)-smaller to larger endpoint
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=True)  # consumed three times below
+    )
+    o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    o2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    o3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = o1.join(o2, "y")
+    tris = wedges.join(o3, ["x", "z"])
+    return (
+        tris.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

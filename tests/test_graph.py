@@ -1,0 +1,98 @@
+"""Graph analytics (ffp_spark.graph): degrees, PageRank, triangles.
+
+Covers exact values on hand-checkable graphs, engine-order independence
+(the integer-PageRank determinism claim), equivalence of the oriented
+triangle count with a naive reference on a seeded random graph, and the
+lineage-truncation shape of the iterative loop.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffp_spark.graph import PR_SCALE, degree_histogram, pagerank, triangle_count
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(str(a), str(b)) for a, b in pairs], "src string, dst string")
+
+
+def test_degree_histogram_known_graph(spark):
+    # path a-b-c-d plus isolated-ish leaf e-b: degrees a1 b3 c2 d1 e1
+    df = degree_histogram(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("e", "b")]))
+    got = {r.degree: r.n_nodes for r in df.collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_pagerank_star_ranks_center_highest(spark):
+    # directed star into the center: center must strictly dominate
+    e = _edges(spark, [(f"l{i}", "center") for i in range(5)])
+    rows = {r.node: r.pr_q for r in pagerank(e, iters=3).collect()}
+    assert rows["center"] > max(v for k, v in rows.items() if k != "center")
+    # leaves are symmetric -> identical integer scores
+    assert len({v for k, v in rows.items() if k != "center"}) == 1
+
+
+def test_pagerank_mass_bounded_and_deterministic(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    pairs = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    r1 = sorted(pagerank(e, iters=4).collect())
+    # total mass never exceeds one unit (floor-division only leaks down)
+    assert sum(r.pr_q for r in r1) <= PR_SCALE
+    # partitioning must not change a single integer: the determinism
+    # claim the DuckDB oracle relies on
+    r2 = sorted(pagerank(e.repartition(13), iters=4).collect())
+    assert r1 == r2
+
+
+def _naive_triangles(pairs):
+    und = {frozenset(p) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4: 4 triangles
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    row = triangle_count(_edges(spark, k4)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+    # C5 (5-cycle): no triangles; duplicate + reversed edges must not count
+    c5 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"), ("b", "a")]
+    row = triangle_count(_edges(spark, c5)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 5, 0)
+
+
+def test_triangle_count_matches_naive_on_random_graph(spark):
+    rng = random.Random(42)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    pairs = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row.n_triangles == _naive_triangles(pairs)
+    assert row.n_edges == len(pairs)
+
+
+def test_pagerank_plan_depth_constant_in_iters(spark):
+    """localCheckpoint truncation: the final plan must not contain the
+    unrolled join chain (plan size O(1) in iteration count)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    p2 = pagerank(e, iters=2)._jdf.queryExecution().optimizedPlan().toString()
+    p6 = pagerank(e, iters=6)._jdf.queryExecution().optimizedPlan().toString()
+    assert abs(len(p6) - len(p2)) < 200
+    assert p6.count("Join") <= 2
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
