@@ -667,6 +667,37 @@ ORDER BY source
 """
 
 
+# PII detection + redaction (training-data pipeline hygiene operator):
+# deterministic synthetic PII is appended per doc (doc_id arithmetic, so
+# the query is non-vacuous at every sf), then emails/IPv4s are counted
+# with regexp_extract_all and redacted with regexp_replace — all JVM-
+# side codegen expressions, no UDF.  Regex subset chosen to behave
+# identically in Java (Spark) and RE2 (DuckDB); dialects differ only in
+# escaping, concat spelling and the replace-all flag.
+_SQL_QUERIES["pii_scrub"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id || '@mail' || (doc_id % 5) || '.example.com' ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 100) || '.25'
+              ELSE '' END AS t
+  FROM documents
+),
+x AS (
+  SELECT doc_id % 5 AS dom,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+         length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS rl
+  FROM aug
+)
+SELECT dom, count(*) AS n_docs, CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(ni) AS BIGINT) AS n_ips, CAST(sum(rl) AS BIGINT) AS redacted_chars
+FROM x GROUP BY dom ORDER BY dom
+"""
+
+
 def _sql_to_spark(name: str, sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
         _t(
@@ -682,6 +713,28 @@ def _sql_to_spark(name: str, sql: str) -> Callable[[SparkSession, str], DataFram
 
 # Spark-dialect rewrites where the engines' SQL differs.
 _SPARK_DIALECT: dict[str, str] = {
+    "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' Contact user', doc_id, '@mail', doc_id % 5, '.example.com',
+           CASE WHEN doc_id % 4 = 0
+                THEN concat(' from 10.', doc_id % 256, '.', doc_id % 100, '.25')
+                ELSE '' END) AS t
+  FROM documents
+),
+x AS (
+  SELECT doc_id % 5 AS dom,
+         size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS ne,
+         size(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS ni,
+         length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS rl
+  FROM aug
+)
+SELECT dom, count(*) AS n_docs, CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(ni) AS BIGINT) AS n_ips, CAST(sum(rl) AS BIGINT) AS redacted_chars
+FROM x GROUP BY dom ORDER BY dom
+""",
     "explode_tokens": """
 SELECT tok, count(*) AS n
 FROM (SELECT explode(split(lower(text), ' ')) AS tok FROM documents) t
