@@ -713,6 +713,26 @@ def _sql_to_spark(name: str, sql: str) -> Callable[[SparkSession, str], DataFram
 
 # Spark-dialect rewrites where the engines' SQL differs.
 _SPARK_DIALECT: dict[str, str] = {
+    "sessionize_events": """
+WITH ev AS (SELECT user_id, unix_millis(cast(ts AS TIMESTAMP)) AS t, event_id FROM events),
+d AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 21600000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+       min(t) AS start_ms, CAST(max(t) - min(t) AS BIGINT) AS dur_ms
+FROM s GROUP BY user_id, sid
+ORDER BY dur_ms DESC, user_id, session_idx LIMIT 20
+""",
     "pii_scrub": r"""
 WITH aug AS (
   SELECT doc_id,
@@ -1654,6 +1674,85 @@ ORDER BY size DESC, component_id
 _ORACLE_ONLY["link_cc_components"] = _link_cc_oracle()
 
 
+# ---------------------------------------------------------------------------
+# temporal operators (round 3): as-of join, sessionization
+# ---------------------------------------------------------------------------
+
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — Spark has no ASOF JOIN, so this runs the
+    union-window implementation (asof.py: one shuffle + one sort, no
+    row multiplication) and DuckDB replays it with its NATIVE
+    ``ASOF LEFT JOIN`` — two independent algorithms, same answer.
+    Clicks attach the latest at-or-before purchase per user; the right
+    side is deduped per (user, ts) so both engines are deterministic."""
+    from ffp_spark.asof import asof_join_backward
+
+    _t(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    j = asof_join_backward(
+        clicks, purch, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["pid", "ts"],
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("asof.pid").alias("n_matched"),
+            F.coalesce(F.sum("asof.pid"), F.lit(0)).cast("long").alias("sum_matched_pid"),
+            F.coalesce(
+                F.max(F.unix_millis(F.col("asof.ts").cast("timestamp"))), F.lit(0)
+            ).cast("long").alias("last_match_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_ONLY["asof_join_events"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max(event_id) AS pid
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id AS user_id, count(*) AS n_clicks, count(p.pid) AS n_matched,
+       CAST(coalesce(sum(p.pid), 0) AS BIGINT) AS sum_matched_pid,
+       CAST(coalesce(max(epoch_ms(p.ts)), 0) AS BIGINT) AS last_match_ms
+FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
+# Sessionization (gaps-and-islands, 6 h inactivity gap) — epoch-ms
+# BIGINTs on both engines, so every comparison and duration is exact.
+_SQL_QUERIES["sessionize_events"] = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+d AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 21600000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+       min(t) AS start_ms, CAST(max(t) - min(t) AS BIGINT) AS dur_ms
+FROM s GROUP BY user_id, sid
+ORDER BY dur_ms DESC, user_id, session_idx LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
@@ -1681,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_pagerank"] = _q_graph_pagerank
     out["graph_triangles"] = _q_graph_triangles
     out["link_cc_components"] = _q_link_cc_components
+    out["asof_join_events"] = _q_asof_join_events
     return out
 
 

@@ -71,26 +71,30 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
         ["src", "dst"]
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib_edges = e.join(outdeg, "src").localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    # out-degrees are V-sized; dividing scores by outdeg at the NODE
+    # level (tiny join) before the E-sized edge join keeps the big join
+    # payload to one column — never attach outdeg to every edge
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=True
+    )
     n = nodes.count()
     base_q = (15 * scale) // (100 * n)
 
     scores = nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q"))
     for _ in range(iters):
+        rate = outdeg.join(scores, outdeg.src == scores.node).select(
+            "src", F.expr("pr_q div outdeg").alias("cq")
+        )
         contrib = (
-            contrib_edges.join(scores, contrib_edges.src == scores.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr_q div outdeg").alias("cq"),
-            )
+            e.join(rate, "src")
+            .select(F.col("dst").alias("node"), "cq")
             .groupBy("node")
             .agg(F.sum("cq").alias("in_q"))
         )
