@@ -1729,6 +1729,92 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+# Multi-level aggregation: GROUPING SETS (detail, subtotal, grand
+# total in ONE pass — Spark expands to a single Expand + hash agg, no
+# re-scan per level).  Same SQL text runs on both engines.
+_SQL_QUERIES["grouping_sets_orders"] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS prio,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 4))), 2) AS DOUBLE) AS rev
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, prio
+"""
+
+# Pivot via FILTERed aggregates (engine-portable spelling of PIVOT —
+# one scan, conditional aggregation, no join).
+_SQL_QUERIES["pivot_status_priority"] = """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS other,
+       count(*) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY status
+"""
+
+
+# BM25 retrieval (Robertson k1=1.2, b=0.75) over the documents table
+# for a fixed 3-term query.  idf is quantized to integer micro-log
+# units (the tfidf/lang-ID trick); every other operation is IEEE
+# +,-,*,/ on identical expression trees, exactly specified, so both
+# engines produce the same doubles; per-term scores are quantized to
+# BIGINT micro-units BEFORE the per-doc sum so the aggregation is
+# associative integer addition (order-independent).  Fractional
+# literals are CAST to DOUBLE explicitly: Spark would otherwise parse
+# them as DECIMAL and use exact-decimal arithmetic where DuckDB uses
+# doubles.
+_BM25_BODY = """
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS sum_dl FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+         CAST(round(ln((n.n_docs - df + CAST(0.5 AS DOUBLE))
+                       / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN n
+),
+per AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (idf.idf_q / CAST(1000000.0 AS DOUBLE))
+           * (tf.tf * CAST(2.2 AS DOUBLE))
+           / (tf.tf + CAST(1.2 AS DOUBLE)
+              * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl.dl * n.n_docs / n.sum_dl))
+           * 1000000, 0) AS BIGINT) AS s_q
+  FROM tf
+  JOIN q ON tf.tok = q.qtok
+  JOIN idf ON idf.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n
+)
+SELECT doc_id, CAST(sum(s_q) AS BIGINT) AS bm25_q, count(*) AS n_terms
+FROM per GROUP BY doc_id
+ORDER BY bm25_q DESC, doc_id LIMIT 20
+"""
+
+_SQL_QUERIES["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+  FROM documents
+),
+q(qtok) AS (VALUES ('spark'), ('join'), ('window')),
+""" + _BM25_BODY
+
+_SPARK_DIALECT["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok != ''
+),
+q AS (SELECT explode(array('spark', 'join', 'window')) AS qtok),
+""" + _BM25_BODY
+
+
 # Sessionization (gaps-and-islands, 6 h inactivity gap) — epoch-ms
 # BIGINTs on both engines, so every comparison and duration is exact.
 _SQL_QUERIES["sessionize_events"] = """
