@@ -1729,6 +1729,41 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+# BPE-ish regex tokenization (task-spec companion to the whitespace
+# token_counts): GPT-style pre-tokenizer classes WITHOUT lookahead so
+# Java (Spark) and RE2 (DuckDB) agree — alpha runs, digit runs,
+# punctuation runs.  Counts per source + distinct token types.
+_SQL_QUERIES["token_counts_bpe"] = r"""
+WITH aug AS (
+  SELECT source, text || ' #' || doc_id || '!' AS t FROM documents
+)
+SELECT source,
+       CAST(sum(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT)
+         AS total_bpe_tokens,
+       CAST(sum(len(regexp_extract_all(t, '[0-9]+'))) AS BIGINT) AS digit_runs,
+       CAST(sum(len(regexp_extract_all(t, '[^A-Za-z0-9\s]+'))) AS BIGINT) AS punct_runs,
+       count(*) AS n_docs
+FROM aug
+GROUP BY source
+ORDER BY source
+"""
+
+_SPARK_DIALECT["token_counts_bpe"] = r"""
+WITH aug AS (
+  SELECT source, concat(text, ' #', doc_id, '!') AS t FROM documents
+)
+SELECT source,
+       CAST(sum(size(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0))) AS BIGINT)
+         AS total_bpe_tokens,
+       CAST(sum(size(regexp_extract_all(t, '[0-9]+', 0))) AS BIGINT) AS digit_runs,
+       CAST(sum(size(regexp_extract_all(t, '[^A-Za-z0-9\\s]+', 0))) AS BIGINT) AS punct_runs,
+       count(*) AS n_docs
+FROM aug
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Multi-level aggregation: GROUPING SETS (detail, subtotal, grand
 # total in ONE pass — Spark expands to a single Expand + hash agg, no
 # re-scan per level).  Same SQL text runs on both engines.

@@ -101,6 +101,8 @@ def main() -> None:
         "graph_triangles",
         "link_cc_components",
         "pii_scrub",
+        "asof_join_events",
+        "bm25_topk",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
