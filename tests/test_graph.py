@@ -92,6 +92,38 @@ def test_pagerank_plan_depth_constant_in_iters(spark):
     assert p6.count("Join") <= 2
 
 
+def test_cached_repartition_join_shuffles_only_small_side(spark):
+    """The pagerank shape: edges repartition('src').cache() must keep
+    hashpartitioning visible so a later join on src shuffles ONLY the
+    other (V-sized) side — the E-sized edge set moves once, not once
+    per iteration.  Pins the Spark behavior the optimization relies on."""
+    e = _edges(spark, [(f"s{i % 7}", f"d{i}") for i in range(50)]).repartition("src").cache()
+    e.count()
+    rate = spark.createDataFrame(
+        [(f"s{i}", i) for i in range(7)], "src string, cq long"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # force the shuffle-join path the big-graph case takes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = e.join(rate, "src")._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        e.unpersist()
+    lines = plan.splitlines()
+    i_join = next(i for i, l in enumerate(lines) if "MergeJoin" in l or "ShuffledHashJoin" in l)
+    i_scan = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    assert i_join < i_scan
+    # the cached edge branch (between the join and its table scan) must
+    # read straight from cache — no fresh Exchange
+    assert not any("Exchange" in l for l in lines[i_join:i_scan])
+    # the rate branch below it IS shuffled to the edges' partitioning
+    assert any("Exchange hashpartitioning(src" in l for l in lines[i_scan:])
+
+
 def test_triangle_plan_has_no_cartesian(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
     plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
