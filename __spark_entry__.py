@@ -1764,6 +1764,55 @@ ORDER BY source
 """
 
 
+# Deterministic train/val/test split (training-data pipeline op): the
+# split is a pure function of content identity (md5 of doc_id), so it
+# is stable across runs, engines, partitionings and re-shards — the
+# property a 100 TB corpus split needs (no sampling state, no RNG).
+# 80/10/10 by the first two hex digits (256 buckets: <205 / <230 / rest).
+_SQL_QUERIES["train_test_split"] = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 205 THEN 'train'
+            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM b GROUP BY split ORDER BY split
+"""
+
+_SPARK_DIALECT["train_test_split"] = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN CAST(bucket AS BIGINT) < 205 THEN 'train'
+            WHEN CAST(bucket AS BIGINT) < 230 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM b GROUP BY split ORDER BY split
+"""
+
+
+# ntile quartiles over a total order (acctbal, custkey — ties broken
+# deterministically so bucket boundaries are engine-independent).
+_SQL_QUERIES["ntile_quartiles"] = """
+SELECT q, count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_bal
+FROM (
+  SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+  FROM customer
+) t
+GROUP BY q ORDER BY q
+"""
+
+
 # Multi-level aggregation: GROUPING SETS (detail, subtotal, grand
 # total in ONE pass — Spark expands to a single Expand + hash agg, no
 # re-scan per level).  Same SQL text runs on both engines.
