@@ -31,9 +31,50 @@ Design-for-scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PR_SCALE = 10**12  # one unit of PageRank mass, in integer micro-units
+
+
+def analyze_snapshot(
+    spark: SparkSession,
+    root: str | Path,
+    snapshot_id: Optional[int] = None,
+    pr_iters: int = 5,
+    top_k: int = 20,
+) -> dict[str, DataFrame]:
+    """Graph analytics over a COMMITTED KG snapshot — the serving-path
+    integration: edges/nodes come through ``read_snapshot_bucketed``
+    (catalog bucket spec, exchange-free on the bucket key), and the
+    top-PageRank report joins node labels back on.
+
+    Returns lazy DataFrames: ``degree_histogram`` (degree, n_nodes),
+    ``top_pagerank`` (node, pr_q, kind, label), ``triangles``
+    (n_nodes, n_edges, n_triangles).
+    """
+    from .snapshots import read_snapshot_bucketed
+
+    edges = read_snapshot_bucketed(spark, root, "edges", snapshot_id)
+    nodes = read_snapshot_bucketed(spark, root, "nodes", snapshot_id)
+    deg = degree_histogram(edges).orderBy("degree")
+    top = (
+        pagerank(edges, iters=pr_iters)
+        .join(
+            nodes.select(F.col("node_id").alias("node"), "kind", "label"),
+            "node",
+            "left",
+        )
+        .orderBy(F.desc("pr_q"), "node")
+        .limit(top_k)
+    )
+    return {
+        "degree_histogram": deg,
+        "top_pagerank": top,
+        "triangles": triangle_count(edges),
+    }
 
 
 def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -124,6 +124,25 @@ def test_cached_repartition_join_shuffles_only_small_side(spark):
     assert any("Exchange hashpartitioning(src" in l for l in lines[i_scan:])
 
 
+def test_analyze_snapshot_end_to_end(spark, tmp_path):
+    """Serving-path integration: run a real snapshot commit, then run
+    the graph analytics over the COMMITTED bucketed tables."""
+    from ffp_spark.datagen import synth_pages
+    from ffp_spark.graph import analyze_snapshot
+    from ffp_spark.pipeline import run_snapshot
+
+    run_snapshot(spark, synth_pages(spark, 300, seed=5), str(tmp_path), snapshot_id=1)
+    out = analyze_snapshot(spark, str(tmp_path), pr_iters=2, top_k=5)
+    hist = {r.degree: r.n_nodes for r in out["degree_histogram"].collect()}
+    assert hist and all(d >= 1 for d in hist)
+    top = out["top_pagerank"].collect()
+    assert len(top) == 5 and top[0].pr_q >= top[-1].pr_q
+    # labels joined back on from the committed nodes table
+    assert any(r.kind is not None or r.label is not None for r in top)
+    tri = out["triangles"].collect()[0]
+    assert tri.n_edges > 0 and tri.n_triangles >= 0
+
+
 def test_triangle_plan_has_no_cartesian(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
     plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
