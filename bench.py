@@ -80,6 +80,19 @@ def main() -> None:
         # per-stage attribution (parse / link_cc / agg / write) so
         # round-over-round regressions point at a stage, not the total
         extras["snapshot_stages"] = stage
+
+        # serving-path graph analytics over the committed snapshot
+        from ffp_spark.graph import analyze_snapshot
+
+        t0 = time.perf_counter()
+        reports = analyze_snapshot(spark, snap_dir, pr_iters=5, top_k=20)
+        n_hist = len(reports["degree_histogram"].collect())
+        top = reports["top_pagerank"].collect()
+        tri = reports["triangles"].collect()[0]
+        timings["kg_snapshot_analytics"] = round(time.perf_counter() - t0, 3)
+        extras["snapshot_degree_levels"] = n_hist
+        extras["snapshot_top_pr_q"] = int(top[0].pr_q)
+        extras["snapshot_triangles"] = int(tri.n_triangles)
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
 
