@@ -270,6 +270,40 @@ ORDER BY term
 """
 
 
+def _q_tag_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag co-membership pair counts WITHOUT materializing pairs: for a
+    hot tag with n members the pair set is O(n^2) — at web scale you
+    never build it; n_pairs = n*(n-1)/2 from the group size is exact
+    and O(groups).  Runs through the real parse path (entry.tags)."""
+    from ffp_spark.triples import exploded_entries
+
+    e = exploded_entries(_parsed_docfeeds(spark, sf_dir))
+    return (
+        e.select(F.explode("entry.tags").alias("t"))
+        .groupBy(F.col("t.term").alias("term"))
+        .agg(F.count("*").alias("n_entries"))
+        .select(
+            "term",
+            "n_entries",
+            (F.col("n_entries") * (F.col("n_entries") - 1) / 2).cast("long").alias("n_pairs"),
+        )
+        .orderBy(F.desc("n_pairs"), "term")
+    )
+
+
+_ORACLE_ONLY["tag_cooccurrence"] = """
+SELECT term, count(*) AS n_entries,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+FROM (
+  SELECT 'cat-' || (doc_id % 7) AS term FROM documents
+  UNION ALL
+  SELECT 'subj-' || (doc_id % 3) FROM documents WHERE doc_id % 2 = 0
+)
+GROUP BY term
+ORDER BY n_pairs DESC, term
+"""
+
+
 def _q_entry_enclosures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 enclosures through Spark, incl. the int try-cast of length."""
     from ffp_spark.triples import exploded_entries
@@ -1951,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_triangles"] = _q_graph_triangles
     out["link_cc_components"] = _q_link_cc_components
     out["asof_join_events"] = _q_asof_join_events
+    out["tag_cooccurrence"] = _q_tag_cooccurrence
     return out
 
 

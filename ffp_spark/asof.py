@@ -42,6 +42,8 @@ def asof_join_backward(
 ) -> DataFrame:
     """Left rows + ``asof.<payload_col>`` struct fields from the latest
     right row at-or-before the left timestamp (null if none)."""
+    if "asof" in left.columns:
+        raise ValueError("left side already has a column named 'asof'")
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
     r = right.select(
         F.col(key).alias("_k"),

@@ -81,7 +81,9 @@ def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     """Undirected degree histogram: (degree, n_nodes).
 
     Degree counts edge endpoints (a node on k edges has degree k; both
-    directions of the union contribute).  Two partial-aggregated
+    directions of the union contribute).  Multigraph semantics: parallel
+    edges (e.g. one per predicate in the KG edge table) each count —
+    dedup upstream for simple-graph degrees.  Two partial-aggregated
     hash aggs, no join.
     """
     ends = edges.select(F.col(src).alias("node")).unionByName(
