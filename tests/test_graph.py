@@ -52,6 +52,33 @@ def test_pagerank_mass_bounded_and_deterministic(spark):
     assert r1 == r2
 
 
+def _reference_pagerank(pairs, iters, scale=PR_SCALE):
+    """Pure-Python replay of the integer recurrence — must match Spark
+    EXACTLY (that's the whole point of integral-division PageRank)."""
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    score = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        incoming = {v: 0 for v in nodes}
+        for a, b in edges:
+            incoming[b] += score[a] // out[a]
+        score = {v: base + (85 * incoming[v]) // 100 for v in nodes}
+    return score
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    rng = random.Random(23)
+    nodes = [f"p{i}" for i in range(25)]
+    pairs = [(a, b) for a, b in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)} if a != b]
+    got = {r.node: r.pr_q for r in pagerank(_edges(spark, pairs), iters=4).collect()}
+    assert got == _reference_pagerank(pairs, iters=4)
+
+
 def _naive_triangles(pairs):
     und = {frozenset(p) for p in pairs if p[0] != p[1]}
     nodes = sorted({n for e in und for n in e})
