@@ -42,6 +42,31 @@ def asof_join_backward(
 ) -> DataFrame:
     """Left rows + ``asof.<payload_col>`` struct fields from the latest
     right row at-or-before the left timestamp (null if none)."""
+    return _asof_join(left, right, key, left_ts, right_ts, payload_cols, forward=False)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Earliest right row at-or-AFTER the left timestamp (null if none)
+    — the same union-window walk over a descending timestamp order."""
+    return _asof_join(left, right, key, left_ts, right_ts, payload_cols, forward=True)
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    forward: bool,
+) -> DataFrame:
     if "asof" in left.columns:
         raise ValueError("left side already has a column named 'asof'")
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
@@ -59,9 +84,14 @@ def asof_join_backward(
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
         *[F.col(t.name).alias(f"_l_{t.name}") for t in left.schema],
     )
+    order = (
+        [F.col("_ts").desc(), F.col("_side").asc()]
+        if forward
+        else [F.col("_ts").asc(), F.col("_side").asc()]
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = (

@@ -54,6 +54,33 @@ def test_asof_unmatched_left_rows_get_null(spark):
     assert got[1] is None and got[2] is None
 
 
+def _naive_forward(left, right):
+    out = []
+    for k, lt, lid in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt >= lt and (best is None or rt < best[0]):
+                best = (rt, rv)
+        out.append((k, lt, lid, None if best is None else best[1]))
+    return sorted(out)
+
+
+def test_asof_forward_matches_naive_reference(spark):
+    from ffp_spark.asof import asof_join_forward
+
+    rng = random.Random(31)
+    left = [(f"k{rng.randrange(4)}", rng.randrange(500), i) for i in range(150)]
+    right = list({(f"k{rng.randrange(4)}", rng.randrange(500)): None for _ in range(60)})
+    right = [(k, t, i * 10) for i, (k, t) in enumerate(sorted(right))]
+    ldf = spark.createDataFrame(left, "key string, ts long, lid long")
+    rdf = spark.createDataFrame(right, "key string, ts long, rv long")
+    got = asof_join_forward(ldf, rdf, key="key", left_ts="ts", right_ts="ts",
+                            payload_cols=["rv"])
+    rows = sorted((r.key, r.ts, r.lid, None if r.asof is None else r.asof.rv)
+                  for r in got.collect())
+    assert rows == _naive_forward(left, right)
+
+
 def test_asof_plan_is_window_not_join(spark):
     ldf = spark.createDataFrame([("a", 10, 1)], "key string, ts long, lid long")
     rdf = spark.createDataFrame([("a", 5, 3)], "key string, ts long, rv long")
