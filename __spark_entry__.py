@@ -1933,6 +1933,48 @@ q AS (SELECT explode(array('spark', 'join', 'window')) AS qtok),
 """ + _BM25_BODY
 
 
+def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (rangejoin.py): events falling in each
+    user's first-72h window.  Spark runs the time-bucket equi-join
+    (one shuffle, no nested loop); DuckDB replays with a plain
+    inequality join at eval scale — independent algorithms, same rows."""
+    from ffp_spark.rangejoin import interval_join
+
+    _t(spark, sf_dir, "events")
+    ev = spark.table("events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    iv = ev.groupBy("user_id").agg(
+        F.min("t").alias("start_ms"),
+        (F.min("t") + F.lit(259200000)).alias("end_ms"),
+    )
+    j = interval_join(
+        ev, iv, key="user_id", ts="t", start="start_ms", end="end_ms",
+        bucket_width=86400000,
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(F.count("*").alias("n_in_window"), F.max("t").alias("last_in_ms"))
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_ONLY["range_join_events"] = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+iv AS (
+  SELECT user_id, min(t) AS start_ms, min(t) + 259200000 AS end_ms
+  FROM ev GROUP BY user_id
+)
+SELECT e.user_id AS user_id, count(*) AS n_in_window,
+       CAST(max(e.t) AS BIGINT) AS last_in_ms
+FROM ev e JOIN iv ON e.user_id = iv.user_id
+                 AND iv.start_ms <= e.t AND e.t < iv.end_ms
+GROUP BY e.user_id ORDER BY e.user_id
+"""
+
+
 # Sessionization (gaps-and-islands, 6 h inactivity gap) — epoch-ms
 # BIGINTs on both engines, so every comparison and duration is exact.
 _SQL_QUERIES["sessionize_events"] = """
@@ -1986,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["link_cc_components"] = _q_link_cc_components
     out["asof_join_events"] = _q_asof_join_events
     out["tag_cooccurrence"] = _q_tag_cooccurrence
+    out["range_join_events"] = _q_range_join_events
     return out
 
 

@@ -1,0 +1,63 @@
+"""Bucketed interval (range) join — points-in-interval without the
+nested-loop trap.
+
+``points JOIN intervals ON key AND start <= ts AND ts < end`` has no
+equi-key, so Catalyst falls back to BroadcastNestedLoopJoin (or a
+cartesian per key) — O(|P| x |I|) per key, hopeless at web scale.
+
+The scalable form quantizes time into fixed-width buckets:
+
+1. each interval is exploded to the buckets it covers (fan-out =
+   ceil(len/bucket_width) + 1, bounded and chosen by the caller);
+2. points map to exactly one bucket — a plain equi-join on
+   (key, bucket) does the candidate matching with one shuffle;
+3. a cheap residual predicate ``start <= ts < end`` refines.
+
+Cost: one shuffle of points + intervals x fan-out, hash join, no row
+explosion beyond the bucket fan-out.  This is the standard time-bucket
+range-join used by Flink/Kafka-Streams window joins; Databricks' range
+join "hint" does the same quantization inside the optimizer.
+
+Intervals use [start, end) semantics; callers pick ``bucket_width``
+near the typical interval length (fan-out ~2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join: point rows + the interval rows containing them.
+
+    ``ts``/``start``/``end`` are integral (epoch seconds/ms — cast
+    upstream).  Returns points columns + intervals columns (callers
+    project).  A point in k overlapping intervals yields k rows.
+    """
+    bw = int(bucket_width)
+    if bw <= 0:
+        raise ValueError("bucket_width must be positive")
+    p = points.withColumn("_b", (F.col(ts) / bw).cast("long"))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(start) / bw).cast("long"),
+                # end is exclusive, but a partial last bucket still
+                # holds candidates: ceil((end-1)/bw) == floor((end-1)/bw)
+                (F.greatest(F.col(end) - 1, F.col(start)) / bw).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, [key, "_b"]).where(
+        (F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_b")
