@@ -15,7 +15,7 @@ Design-for-scale notes
   bit-identical regardless of partitioning, summation order, or engine
   — a float PageRank is not cross-engine reproducible, an integer one
   is.  Per iteration: one join edges->scores (shuffle on src, edge
-  table cached once) + one groupBy dst.  Scores are localCheckpointed
+  table shuffled/cached once) + one groupBy dst.  Scores are localCheckpointed
   each round so the plan stays O(1) deep instead of O(iters) — same
   lineage-truncation discipline as cc.py.  Dangling mass (sink nodes)
   is dropped, the standard simplified damped walk; both engines
@@ -117,7 +117,7 @@ def pagerank(
     # Catalyst, so every iteration's edge join shuffles only the
     # V-sized rate table — the edges never move again.  (localCheckpoint
     # would lose the partitioning and re-shuffle 10M+ edges per
-    # iteration; measured 2.3x slower at 10M edges, see SCALE.md.)
+    # iteration; measured 1.9x slower at 10M edges, see SCALE.md.)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates(["src", "dst"])
@@ -184,6 +184,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     the wedge set against the oriented edge set counts each triangle
     exactly once.
     """
+    # materialize the canonical edge set ONCE: it is consumed by the
+    # degree computation, the orientation join and the edge-count agg,
+    # and Spark does not dedupe common subtrees — without this the
+    # (possibly expensive) upstream edge derivation re-executes ~5x
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -191,11 +195,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
     )
     ends = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))
     )
-    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    # deg is consumed three times (both orientation sides + node count)
+    deg = ends.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=True
+    )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     # orient from (degree, id)-smaller to larger endpoint
