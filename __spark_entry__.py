@@ -1847,6 +1847,48 @@ GROUP BY q ORDER BY q
 """
 
 
+# HyperLogLog distinct-count sketch, EXACTLY value-oracled: registers
+# are pure integer/bit arithmetic on a 60-bit md5 prefix (bucket = low
+# 6 bits, rho = leading-zero rank of the remaining 54 bits via an
+# integer CASE ladder — no log2), and the harmonic mean is computed as
+# an integer-scaled sum (2^(55-M_j), BIGINT-exact) with ONE double
+# division on identical expression trees.  The point: even an
+# *approximate* operator can be bit-reproducible across engines when
+# its randomness is a deterministic hash.  m=64 registers, alpha=0.709;
+# estimate lands within the standard ~1.04/sqrt(64) error band of
+# n_exact (asserted by the oracle row itself since both columns ship).
+def _hll_sql(h60: str, idiv: str, strty: str) -> str:
+    bitlen = "CASE " + " ".join(
+        f"WHEN (h {idiv} 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    return f"""
+WITH dv AS (SELECT DISTINCT {h60} AS h
+            FROM (SELECT CAST(event_id AS {strty}) AS x FROM events) t),
+rr AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              CAST(CASE WHEN (h {idiv} 64) = 0 THEN 55
+                        ELSE 55 - ({bitlen}) END AS BIGINT) AS rho
+       FROM dv),
+regs AS (SELECT bucket, max(rho) AS m FROM rr GROUP BY bucket),
+s AS (SELECT CAST(sum(CAST(pow(2, 55 - m) AS BIGINT)) AS BIGINT)
+             + CAST(64 - count(*) AS BIGINT) * {1 << 55} AS s_scaled,
+             count(*) AS nz
+      FROM regs)
+SELECT (SELECT count(DISTINCT event_id) FROM events) AS n_exact,
+       CAST(round(CAST(0.709 AS DOUBLE) * 4096 * {1 << 55} / s_scaled, 2) AS DOUBLE)
+         AS hll_estimate,
+       CAST(nz AS BIGINT) AS nonzero_registers
+FROM s
+"""
+
+
+_SQL_QUERIES["hll_distinct_events"] = _hll_sql(
+    "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)", "//", "VARCHAR"
+)
+_SPARK_DIALECT["hll_distinct_events"] = _hll_sql(
+    "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)", "div", "STRING"
+)
+
+
 # Multi-level aggregation: GROUPING SETS (detail, subtotal, grand
 # total in ONE pass — Spark expands to a single Expand + hash agg, no
 # re-scan per level).  Same SQL text runs on both engines.
