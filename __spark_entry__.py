@@ -1588,24 +1588,37 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(F.desc("pr_q"), "node").limit(20)
 
 
-def _pagerank_oracle(iters: int = 5) -> str:
+def _pagerank_oracle(iters: int = 5, weighted: bool = False) -> str:
     from ffp_spark.graph import PR_SCALE
 
-    ctes = [
-        f"""e AS (
+    if weighted:
+        e_cte = """e AS (
+  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+         count(DISTINCT o_orderkey) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey
+)"""
+        od_cte = "od AS (SELECT src, sum(w) AS d FROM e GROUP BY src)"
+        cq = "(s.q * e.w) // od.d"
+    else:
+        e_cte = """e AS (
   SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
+)"""
+        od_cte = "od AS (SELECT src, count(*) AS d FROM e GROUP BY src)"
+        cq = "s.q // od.d"
+    ctes = [
+        f"""{e_cte},
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS (SELECT count(*) AS n FROM nodes),
-od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+{od_cte},
 s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
     ]
     for i in range(1, iters + 1):
         ctes.append(f"""s{i} AS (
   SELECT n.node,
          (SELECT (15 * {PR_SCALE}) // (100 * n) FROM nn)
-         + (85 * COALESCE(sum(s.q // od.d), 0)) // 100 AS q
+         + (85 * COALESCE(sum({cq}), 0)) // 100 AS q
   FROM nodes n
   LEFT JOIN e ON e.dst = n.node
   LEFT JOIN s{i - 1} s ON s.node = e.src
@@ -1620,6 +1633,28 @@ s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
 
 
 _ORACLE_ONLY["graph_pagerank"] = _pagerank_oracle()
+
+
+def _q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: edge weight = number of distinct orders
+    linking the customer to the supplier; contribution
+    (pr * w) div wsum stays pure integer arithmetic, so the weighted
+    recurrence is as bit-exact as the unweighted one."""
+    from ffp_spark.graph import pagerank
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        SELECT concat('c', o_custkey) AS src,
+               concat('s', l_suppkey) AS dst,
+               count(DISTINCT o_orderkey) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey, l_suppkey
+    """)
+    scores = pagerank(edges, iters=4, weight="w")
+    return scores.orderBy(F.desc("pr_q"), "node").limit(20)
+
+
+_ORACLE_ONLY["graph_pagerank_weighted"] = _pagerank_oracle(iters=4, weighted=True)
 
 
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2066,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_image_pixels"] = _q_media_image_pixels
     out["kg_graph_degrees"] = _q_kg_graph_degrees
     out["graph_pagerank"] = _q_graph_pagerank
+    out["graph_pagerank_weighted"] = _q_graph_pagerank_weighted
     out["graph_triangles"] = _q_graph_triangles
     out["link_cc_components"] = _q_link_cc_components
     out["asof_join_events"] = _q_asof_join_events

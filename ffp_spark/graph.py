@@ -100,17 +100,25 @@ def pagerank(
     scale: int = PR_SCALE,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank: (node, pr_q) with pr_q in 1/scale units.
 
     pr_0(v)   = scale div N
     pr_i+1(v) = (15 * scale) div (100 * N)
-              + (85 * sum_{u->v} (pr_i(u) div outdeg(u))) div 100
+              + (85 * sum_{u->v} c(u,v)) div 100
+    c(u,v)    = pr_i(u) div outdeg(u)                 (unweighted)
+              = (pr_i(u) * w(u,v)) div wsum(u)        (weighted)
 
     All divisions integral => associative integer sums => deterministic
     and engine-independent (the DuckDB oracle unrolls the same
     recurrence).  Edges and out-degrees are computed once and cached;
     each iteration is one shuffle-join + one aggregation.
+
+    ``weight``: optional integral edge-weight column (w >= 1; keep
+    w <= ~1e6 so pr_q * w stays inside BIGINT).  With weights, the
+    per-edge contribution divides in the edge-join projection (payload:
+    two longs); unweighted keeps the division at the node level.
     """
     # partition the E-sized edge set by src ONCE and cache it: the
     # cached InMemoryRelation keeps hashpartitioning(src) visible to
@@ -118,8 +126,11 @@ def pagerank(
     # V-sized rate table — the edges never move again.  (localCheckpoint
     # would lose the partitioning and re-shuffle 10M+ edges per
     # iteration; measured 1.9x slower at 10M edges, see SCALE.md.)
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(*cols)
         .dropDuplicates(["src", "dst"])
         .repartition("src")
         .cache()
@@ -137,23 +148,32 @@ def pagerank(
     # out-degrees are V-sized; dividing scores by outdeg at the NODE
     # level (tiny join) before the E-sized edge join keeps the big join
     # payload to one column — never attach outdeg to every edge
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
-        eager=True
+    out_agg = (
+        F.sum("w").alias("wsum") if weight is not None
+        else F.count("*").alias("outdeg")
     )
+    outdeg = e.groupBy("src").agg(out_agg).localCheckpoint(eager=True)
     n = nodes.count()
     base_q = (15 * scale) // (100 * n)
 
     scores = nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q"))
     for _ in range(iters):
-        rate = outdeg.join(scores, outdeg.src == scores.node).select(
-            "src", F.expr("pr_q div outdeg").alias("cq")
-        )
-        contrib = (
-            e.join(rate, "src")
-            .select(F.col("dst").alias("node"), "cq")
-            .groupBy("node")
-            .agg(F.sum("cq").alias("in_q"))
-        )
+        if weight is None:
+            rate = outdeg.join(scores, outdeg.src == scores.node).select(
+                "src", F.expr("pr_q div outdeg").alias("cq")
+            )
+            contrib_rows = e.join(rate, "src").select(
+                F.col("dst").alias("node"), "cq"
+            )
+        else:
+            rate = outdeg.join(scores, outdeg.src == scores.node).select(
+                "src", "pr_q", "wsum"
+            )
+            contrib_rows = e.join(rate, "src").select(
+                F.col("dst").alias("node"),
+                F.expr("(pr_q * w) div wsum").alias("cq"),
+            )
+        contrib = contrib_rows.groupBy("node").agg(F.sum("cq").alias("in_q"))
         scores = (
             nodes.join(contrib, "node", "left")
             .select(

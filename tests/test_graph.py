@@ -79,6 +79,31 @@ def test_pagerank_matches_python_reference_exactly(spark):
     assert got == _reference_pagerank(pairs, iters=4)
 
 
+def test_weighted_pagerank_matches_python_reference_exactly(spark):
+    rng = random.Random(29)
+    nodes = [f"w{i}" for i in range(15)]
+    trips = {(rng.choice(nodes), rng.choice(nodes)): rng.randrange(1, 9)
+             for _ in range(60)}
+    trips = [(a, b, w) for (a, b), w in trips.items() if a != b]
+    e = spark.createDataFrame(trips, "src string, dst string, w long")
+    got = {r.node: r.pr_q for r in pagerank(e, iters=3, weight="w").collect()}
+    # pure-Python weighted recurrence
+    edges = sorted(set(trips))
+    ns = sorted({n for a, b, _ in edges for n in (a, b)})
+    wsum = {}
+    for a, _, w in edges:
+        wsum[a] = wsum.get(a, 0) + w
+    n = len(ns)
+    base = (15 * PR_SCALE) // (100 * n)
+    score = {v: PR_SCALE // n for v in ns}
+    for _ in range(3):
+        inc = {v: 0 for v in ns}
+        for a, b, w in edges:
+            inc[b] += (score[a] * w) // wsum[a]
+        score = {v: base + (85 * inc[v]) // 100 for v in ns}
+    assert got == score
+
+
 def _naive_triangles(pairs):
     und = {frozenset(p) for p in pairs if p[0] != p[1]}
     nodes = sorted({n for e in und for n in e})
