@@ -1657,6 +1657,56 @@ def _q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ONLY["graph_pagerank_weighted"] = _pagerank_oracle(iters=4, weighted=True)
 
 
+def _q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance histogram from supplier s1 over the undirected
+    customer<->supplier order graph.  Spark runs iterative frontier
+    expansion (graph.bfs_depths); DuckDB replays with a recursive CTE
+    (UNION-dedup keeps it bounded by nodes x depths) — independent
+    algorithms, identical integer depths."""
+    from ffp_spark.graph import bfs_depths
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    und = spark.sql("""
+        WITH cs AS (
+          SELECT DISTINCT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM cs
+    """)
+    sources = spark.createDataFrame([("s1",)], "node string")
+    depths = bfs_depths(und, sources, max_depth=10)
+    return (
+        depths.groupBy("depth")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("depth")
+    )
+
+
+_ORACLE_ONLY["graph_bfs_depths"] = """
+WITH RECURSIVE cs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM cs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM cs
+),
+walk(node, depth) AS (
+  SELECT 's1', 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 10
+),
+d AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes
+FROM d GROUP BY depth ORDER BY depth
+"""
+
+
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-order graph (parts co-occurring in
     >= 2 distinct orders).  Spark side uses degree-ordered orientation
@@ -2102,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_graph_degrees"] = _q_kg_graph_degrees
     out["graph_pagerank"] = _q_graph_pagerank
     out["graph_pagerank_weighted"] = _q_graph_pagerank_weighted
+    out["graph_bfs_depths"] = _q_graph_bfs_depths
     out["graph_triangles"] = _q_graph_triangles
     out["link_cc_components"] = _q_link_cc_components
     out["asof_join_events"] = _q_asof_join_events

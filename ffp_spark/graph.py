@@ -195,6 +195,51 @@ def pagerank(
     return scores
 
 
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance from any source node (directed edges;
+    union both directions upstream for undirected reach).
+
+    Frontier expansion: per level, one join frontier->edges (the
+    E-sized edge set is repartitioned by src once and cached, so only
+    the frontier shuffles) + one anti-join against the visited set;
+    both frontier and visited are level-checkpointed (lineage stays
+    O(1), not O(depth)).  Early-exits when the frontier drains.
+    Returns (node, depth); integer depths — engine-exact, replayed in
+    DuckDB with a recursive CTE.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition("src")
+        .cache()
+    )
+    frontier = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).distinct().withColumn("depth", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select("node"), e.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count via degree-ordered orientation.
 

@@ -144,6 +144,25 @@ def test_pagerank_plan_depth_constant_in_iters(spark):
     assert p6.count("Join") <= 2
 
 
+def test_bfs_depths_known_graph(spark):
+    from ffp_spark.graph import bfs_depths
+
+    # path a->b->c->d, shortcut a->c, disconnected x->y
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.depth for r in bfs_depths(e, src, max_depth=5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min-hop; x/y unreachable
+
+
+def test_bfs_depths_respects_max_depth(spark):
+    from ffp_spark.graph import bfs_depths
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.depth for r in bfs_depths(e, src, max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
