@@ -1,8 +1,10 @@
 """As-of (point-in-time) join — a custom operator Spark lacks.
 
 For each left row, attach the latest right row with ``right_ts <=
-left_ts`` for the same key (direction='backward', the PIT-correctness
-join used for feature lookups and slowly-changing dimensions).
+left_ts`` for the same key (backward — the PIT-correctness join used
+for feature lookups and slowly-changing dimensions), or the earliest
+right row at-or-after it (forward; same machinery over a descending
+timestamp order).
 
 Spark has no ASOF JOIN (DuckDB/Pandas do), and the naive
 ``left JOIN right ON key AND r.ts <= l.ts`` + max_by explodes
