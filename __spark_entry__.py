@@ -1747,6 +1747,125 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
 """
 
 
+def _q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the part co-order graph:
+    3*triangles / wedges, wedges = sum_v d_v*(d_v-1)/2 — triangle and
+    degree counts are exact integers from the oriented counter, the
+    single final division is one IEEE op on identical trees."""
+    from ffp_spark.graph import triangle_count
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """).localCheckpoint(eager=True)
+    tri = triangle_count(edges)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges",
+        F.round(
+            F.lit(3).cast("double") * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering_coeff"),
+    )
+
+
+_ORACLE_ONLY["graph_clustering_coeff"] = """
+WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s1, b.l_partkey AS s2
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+nodes AS (SELECT s1 AS node FROM e UNION SELECT s2 FROM e),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e1.s2 = e2.s1 JOIN e e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2
+),
+w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT n_wedges FROM w) AS n_wedges,
+       round(CAST(3 AS DOUBLE) * (SELECT t FROM tri) / (SELECT n_wedges FROM w), 6)
+         AS clustering_coeff
+"""
+
+
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-order graph after 6 fixed peeling rounds
+    (graph.kcore_edges); DuckDB unrolls the same 6 rounds as CTEs —
+    identical by construction whether or not peeling has converged."""
+    from ffp_spark.graph import kcore_edges
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    core = kcore_edges(edges, k=3, rounds=6)
+    nodes = core.select(F.col("a").alias("node")).unionByName(
+        core.select(F.col("b").alias("node"))
+    ).distinct()
+    return core.agg(F.count("*").alias("n_core_edges")).crossJoin(
+        nodes.agg(F.count("*").alias("n_core_nodes"))
+    ).select("n_core_nodes", "n_core_edges")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    ctes = ["""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""d{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+  ) GROUP BY node
+),
+k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e{r}.a, e{r}.b FROM e{r}
+  JOIN k{r} ka ON e{r}.a = ka.node
+  JOIN k{r} kb ON e{r}.b = kb.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT count(*) FROM (SELECT a AS n FROM e{rounds} UNION SELECT b FROM e{rounds})) AS n_core_nodes,
+       (SELECT count(*) FROM e{rounds}) AS n_core_edges
+"""
+    )
+
+
+_ORACLE_ONLY["graph_kcore"] = _kcore_oracle()
+
+
 def _q_link_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end value oracle for operator K7: MinHash-LSH candidate
     pairs (already value-oracled) feed the alternating large-star/
@@ -2153,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["graph_pagerank"] = _q_graph_pagerank
     out["graph_pagerank_weighted"] = _q_graph_pagerank_weighted
     out["graph_bfs_depths"] = _q_graph_bfs_depths
+    out["graph_clustering_coeff"] = _q_graph_clustering_coeff
+    out["graph_kcore"] = _q_graph_kcore
     out["graph_triangles"] = _q_graph_triangles
     out["link_cc_components"] = _q_link_cc_components
     out["asof_join_events"] = _q_asof_join_events

@@ -240,6 +240,49 @@ def bfs_depths(
     return visited
 
 
+def kcore_edges(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edges surviving ``rounds`` iterations of k-core peeling (drop
+    every node with degree < k, repeat).
+
+    Fixed round count, NOT run-to-convergence: the result after r
+    rounds is a well-defined deterministic object both engines compute
+    identically (the DuckDB oracle unrolls the same r rounds); pick
+    ``rounds`` >= the graph's peeling depth for the true k-core.  Each
+    round: one degree aggregation + two semi-joins, edge set
+    checkpointed per round (O(1) lineage).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return e
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count via degree-ordered orientation.
 

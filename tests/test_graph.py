@@ -163,6 +163,19 @@ def test_bfs_depths_respects_max_depth(spark):
     assert got == {"a": 0, "b": 1, "c": 2}
 
 
+def test_kcore_strips_pendants_and_keeps_clique(spark):
+    from ffp_spark.graph import kcore_edges
+
+    # K4 clique + pendant path d-e-f: 2-core = the clique + nothing else
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    e = _edges(spark, k4 + [("d", "e"), ("e", "f")])
+    core = kcore_edges(e, k=2, rounds=4)
+    got = sorted((r.a, r.b) for r in core.collect())
+    assert got == sorted(tuple(sorted(p)) for p in k4)
+    # k=4: K4 nodes have degree 3 -> everything peels
+    assert kcore_edges(e, k=4, rounds=4).count() == 0
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
