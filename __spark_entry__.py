@@ -1866,6 +1866,43 @@ SELECT (SELECT count(*) FROM (SELECT a AS n FROM e{rounds} UNION SELECT b FROM e
 _ORACLE_ONLY["graph_kcore"] = _kcore_oracle()
 
 
+# Degree assortativity (Newman) of the part co-order graph.  With
+# integer edge-endpoint degrees j,k and M edges, r reduces to
+# (4*M*S1 - S2^2) / (2*M*S3 - S2^2) with S1=sum(jk), S2=sum(j+k),
+# S3=sum(j^2+k^2) — numerator and denominator are EXACT integers, the
+# single division is one IEEE op.  Same SQL text runs on both engines.
+_SQL_QUERIES["graph_assortativity"] = """
+WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s1, b.l_partkey AS s2
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e
+  ) t GROUP BY node
+),
+ed AS (
+  SELECT da.d AS j, db.d AS k
+  FROM e JOIN deg da ON e.s1 = da.node JOIN deg db ON e.s2 = db.node
+),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(j * k) AS BIGINT) AS s1,
+         CAST(sum(j + k) AS BIGINT) AS s2,
+         CAST(sum(j * j + k * k) AS BIGINT) AS s3
+  FROM ed
+)
+SELECT m AS n_edges, s1, s2, s3,
+       CAST(round((4 * m * s1 - s2 * s2) * CAST(1.0 AS DOUBLE)
+                  / (2 * m * s3 - s2 * s2), 6) AS DOUBLE) AS assortativity
+FROM s
+"""
+
+
 def _q_link_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end value oracle for operator K7: MinHash-LSH candidate
     pairs (already value-oracled) feed the alternating large-star/
