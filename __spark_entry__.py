@@ -2165,7 +2165,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY status
 # literals are CAST to DOUBLE explicitly: Spark would otherwise parse
 # them as DECIMAL and use exact-decimal arithmetic where DuckDB uses
 # doubles.
-_BM25_BODY = """
+_BM25_SCORES = """
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS sum_dl FROM documents),
@@ -2191,29 +2191,97 @@ per AS (
   JOIN idf ON idf.tok = tf.tok
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN n
-)
-SELECT doc_id, CAST(sum(s_q) AS BIGINT) AS bm25_q, count(*) AS n_terms
-FROM per GROUP BY doc_id
+),
+bmscore AS (
+  SELECT doc_id, CAST(sum(s_q) AS BIGINT) AS bm25_q, count(*) AS n_terms
+  FROM per GROUP BY doc_id
+)"""
+
+_BM25_BODY = _BM25_SCORES + """
+SELECT doc_id, bm25_q, n_terms FROM bmscore
 ORDER BY bm25_q DESC, doc_id LIMIT 20
 """
 
-_SQL_QUERIES["bm25_topk"] = """
-WITH toks AS (
+_BM25_TOKS_DUCK = """toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
   FROM documents
 ),
 q(qtok) AS (VALUES ('spark'), ('join'), ('window')),
-""" + _BM25_BODY
+"""
 
-_SPARK_DIALECT["bm25_topk"] = """
-WITH toks AS (
+_BM25_TOKS_SPARK = """toks AS (
   SELECT doc_id, tok
   FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
   WHERE tok != ''
 ),
 q AS (SELECT explode(array('spark', 'join', 'window')) AS qtok),
-""" + _BM25_BODY
+"""
+
+_SQL_QUERIES["bm25_topk"] = "WITH " + _BM25_TOKS_DUCK + _BM25_BODY
+_SPARK_DIALECT["bm25_topk"] = "WITH " + _BM25_TOKS_SPARK + _BM25_BODY
+
+
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 text ranking and
+# the brute-force cosine vector ranking (vec_id joined as doc_id).
+# Ranks come from exact orderings (BIGINT bm25_q; cosine rounded 4dp
+# with id tiebreak — same convention as knn_bruteforce), and the RRF
+# score 1e9 // (60 + rank) is integral division, so the fused ranking
+# is engine-exact.  The two-list FULL OUTER JOIN exercises rank
+# fusion with partial overlap (a doc may appear in only one list).
+def _hybrid_rrf_sql(engine: str) -> str:
+    idiv = "//" if engine == "duck" else "div"
+    toks = _BM25_TOKS_DUCK if engine == "duck" else _BM25_TOKS_SPARK
+    if engine == "duck":
+        cos_cte = """
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vr0 AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(embedding::DOUBLE[], (SELECT qvec FROM qv))
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product((SELECT qvec FROM qv), (SELECT qvec FROM qv)))),
+               4) AS c
+  FROM embeddings WHERE vec_id <> 0
+)"""
+    else:
+        cos_cte = """
+qv AS (SELECT cast(embedding AS array<double>) AS qvec FROM embeddings WHERE vec_id = 0),
+vr0 AS (
+  SELECT vec_id AS doc_id,
+         round(aggregate(zip_with(cast(embedding AS array<double>), qvec,
+                                  (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
+               / (sqrt(aggregate(zip_with(cast(embedding AS array<double>),
+                                          cast(embedding AS array<double>),
+                                          (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))
+                  * sqrt(aggregate(zip_with(qvec, qvec,
+                                            (x, y) -> x * y), 0.0d, (acc, v) -> acc + v))),
+               4) AS c
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+)"""
+    return (
+        "WITH " + toks + _BM25_SCORES + "," + cos_cte + f""",
+tr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rt FROM bmscore),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rv FROM vr0),
+f AS (
+  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.rt AS rt, v.rv AS rv
+  FROM (SELECT * FROM tr WHERE rt <= 50) t
+  FULL OUTER JOIN (SELECT * FROM vr WHERE rv <= 50) v ON t.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN rt IS NULL THEN 0 ELSE 1000000000 {idiv} (60 + rt) END
+          + CASE WHEN rv IS NULL THEN 0 ELSE 1000000000 {idiv} (60 + rv) END
+          AS BIGINT) AS rrf_q,
+       CAST(coalesce(rt, 0) AS BIGINT) AS bm25_rank,
+       CAST(coalesce(rv, 0) AS BIGINT) AS cos_rank
+FROM f
+ORDER BY rrf_q DESC, doc_id
+LIMIT 10
+"""
+    )
+
+
+_SQL_QUERIES["hybrid_rrf_topk"] = _hybrid_rrf_sql("duck")
+_SPARK_DIALECT["hybrid_rrf_topk"] = _hybrid_rrf_sql("spark")
 
 
 def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
