@@ -107,8 +107,10 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "knn_bruteforce",
         "minhash_lsh_candidates",
-        # round-3 additions — totals are NOT line-comparable to BENCH_r02
-        # (5 new queries in the suite); per-query rows are
+        # round-3 additions (7 queries: kg_graph_degrees, graph_pagerank,
+        # graph_triangles, link_cc_components, pii_scrub, asof_join_events,
+        # bm25_topk) — totals are NOT line-comparable to BENCH_r02;
+        # per-query rows are
         "kg_graph_degrees",
         "graph_pagerank",
         "graph_triangles",

@@ -128,13 +128,25 @@ def pagerank(
     # iteration; measured 1.9x slower at 10M edges, see SCALE.md.)
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
+        # multi-edges with different weights must not resolve to an
+        # arbitrary survivor (dropDuplicates keeps any one row) — sum
+        # them, which is both deterministic and the natural multigraph
+        # semantics; unweighted edges stay a plain distinct
         cols.append(F.col(weight).cast("long").alias("w"))
-    e = (
-        edges.select(*cols)
-        .dropDuplicates(["src", "dst"])
-        .repartition("src")
-        .cache()
-    )
+        e = (
+            edges.select(*cols)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .repartition("src")
+            .cache()
+        )
+    else:
+        e = (
+            edges.select(*cols)
+            .dropDuplicates(["src", "dst"])
+            .repartition("src")
+            .cache()
+        )
     # nodes partitioned by node for the same reason: the per-iteration
     # left join against aggregated contributions is then exchange-free
     # on both sides (contrib comes out of groupBy("node") pre-partitioned)

@@ -45,15 +45,18 @@ def interval_join(
     bw = int(bucket_width)
     if bw <= 0:
         raise ValueError("bucket_width must be positive")
-    p = points.withColumn("_b", (F.col(ts) / bw).cast("long"))
+    # integral `div` on both sides: double division + cast('long') loses
+    # exactness past 2^53 (epoch-nanos would misbucket and silently drop
+    # true matches before the residual filter)
+    p = points.withColumn("_b", F.expr(f"`{ts}` div {bw}"))
     i = intervals.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                (F.col(start) / bw).cast("long"),
+                F.expr(f"`{start}` div {bw}"),
                 # end is exclusive, but a partial last bucket still
                 # holds candidates: ceil((end-1)/bw) == floor((end-1)/bw)
-                (F.greatest(F.col(end) - 1, F.col(start)) / bw).cast("long"),
+                F.expr(f"greatest(`{end}` - 1, `{start}`) div {bw}"),
             )
         ),
     )

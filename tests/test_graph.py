@@ -104,6 +104,28 @@ def test_weighted_pagerank_matches_python_reference_exactly(spark):
     assert got == score
 
 
+def test_weighted_pagerank_sums_duplicate_edges(spark):
+    """Multi-edges with different weights must aggregate (sum), not
+    resolve to an arbitrary dropDuplicates survivor (ADVICE r3)."""
+    dup = [("a", "b", 1), ("a", "b", 4), ("a", "c", 2), ("b", "c", 3),
+           ("b", "c", 3), ("c", "a", 5)]
+    agg = [("a", "b", 5), ("a", "c", 2), ("b", "c", 6), ("c", "a", 5)]
+    e_dup = spark.createDataFrame(dup, "src string, dst string, w long")
+    e_agg = spark.createDataFrame(agg, "src string, dst string, w long")
+    got_dup = {r.node: r.pr_q for r in pagerank(e_dup, iters=3, weight="w").collect()}
+    got_agg = {r.node: r.pr_q for r in pagerank(e_agg, iters=3, weight="w").collect()}
+    assert got_dup == got_agg
+    # and the order the duplicates arrive in cannot matter
+    got_rev = {
+        r.node: r.pr_q
+        for r in pagerank(
+            spark.createDataFrame(dup[::-1], "src string, dst string, w long"),
+            iters=3, weight="w",
+        ).collect()
+    }
+    assert got_rev == got_dup
+
+
 def _naive_triangles(pairs):
     und = {frozenset(p) for p in pairs if p[0] != p[1]}
     nodes = sorted({n for e in und for n in e})
