@@ -295,6 +295,68 @@ def kcore_edges(
     return e
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection: (node, label).
+
+    label_0(v) = v; each round every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — a
+    total deterministic rule, so the result after a fixed number of
+    rounds is a well-defined object both engines compute identically
+    (the DuckDB oracle unrolls the same rounds; same discipline as
+    ``kcore_edges``).  Undirected: each edge votes both ways.
+
+    Scale shape: the 2E-sized adjacency is repartitioned on its join
+    key ONCE and cached, so per round only the V-sized label table
+    shuffles into the join; votes reduce through a partial-aggregated
+    groupBy(node, label) and a per-node top-1 window.  Labels are
+    localCheckpointed per round — O(1) lineage, O(rounds) jobs.
+    """
+    from pyspark.sql.window import Window
+
+    # canonicalize BEFORE dedup: an edge supplied in both directions is
+    # one undirected edge and must vote once (same as kcore_edges)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    # (v, u): u is a neighbor of v; partitioned by u = the join key
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .repartition("u")
+        .cache()
+    )
+    labels = (
+        adj.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    top1 = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(rounds):
+        votes = adj.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select("v", "label")
+        counted = votes.groupBy("v", "label").agg(F.count("*").alias("n"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count via degree-ordered orientation.
 

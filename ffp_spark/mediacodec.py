@@ -978,3 +978,118 @@ def mp4_duration_ms(payload: bytes) -> Optional[int]:
                 inner += isz
         pos += size
     return None
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) MJPEG — the 'movi' LIST is concatenated '00dc' chunks, each a
+# complete baseline JPEG, so jpeg_decode() gives REAL video frame pixels
+# without ffmpeg.  (Reference scope: fastfeedparser has no media decode at
+# all — this backs the training-data-pipeline multimodal tier.)
+# ---------------------------------------------------------------------------
+
+def avi_encode_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quant: int = 4,
+    subsample: str = "444",
+) -> bytes:
+    """Minimal spec-valid AVI wrapping each HxWx3 uint8 frame as a
+    baseline JPEG '00dc' chunk: RIFF('AVI ') / LIST hdrl (avih + LIST
+    strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) / LIST movi /
+    idx1.  Deterministic byte-for-byte given the same inputs."""
+    if not frames:
+        raise ValueError("avi_encode_mjpeg needs at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    h, w = frames[0].shape[:2]
+    jpgs = [jpeg_encode(f, quant=quant, subsample=subsample) for f in frames]
+    usec = 1_000_000 // fps
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_jpg = max(len(j) for j in jpgs)
+    avih = struct.pack(
+        "<14I", usec, max_jpg * fps, 0, 0x10, len(jpgs), 0, 1, max_jpg,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpgs), max_jpg, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    idx_entries = []
+    for j in jpgs:
+        idx_entries.append(struct.pack("<4sII", b"00dc", 0x10, len(movi_body) - 4))
+        idx_entries.append(struct.pack("<I", len(j)))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(
+        idx_entries[i] + idx_entries[i + 1] for i in range(0, len(idx_entries), 2)
+    ))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_info(payload: bytes) -> Optional[dict]:
+    """Header probe: width/height/n_frames/usec-per-frame/duration_ms
+    from the avih chunk.  None when not an AVI; malformed headers raise
+    (callers contain)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            inner, end = pos + 12, pos + 8 + clen
+            while inner + 8 <= end:
+                icid = payload[inner : inner + 4]
+                (ilen,) = struct.unpack("<I", payload[inner + 4 : inner + 8])
+                if icid == b"avih" and ilen >= 40:
+                    vals = struct.unpack("<10I", payload[inner + 8 : inner + 48])
+                    usec, total, width, height = vals[0], vals[4], vals[8], vals[9]
+                    return {
+                        "usec_per_frame": int(usec),
+                        "n_frames": int(total),
+                        "width": int(width),
+                        "height": int(height),
+                        "duration_ms": int(total * usec // 1000),
+                    }
+                inner += 8 + ilen + (ilen & 1)
+        pos += 8 + clen + (clen & 1)
+    return None
+
+
+def avi_mjpeg_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Split the 'movi' LIST into (frame_idx, ts_ms, jpeg_bytes) rows.
+    Walks RIFF chunks only — each returned payload is a complete JPEG
+    for jpeg_decode().  Raises on non-AVI input (callers contain)."""
+    info = avi_info(payload)
+    if info is None:
+        raise ValueError("not an AVI")
+    usec = info["usec_per_frame"] or 100_000
+    out: list[tuple[int, int, bytes]] = []
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            inner, end = pos + 12, min(pos + 8 + clen, n)
+            while inner + 8 <= end:
+                fcid = payload[inner : inner + 4]
+                (flen,) = struct.unpack("<I", payload[inner + 4 : inner + 8])
+                if fcid[2:4] in (b"dc", b"db"):
+                    idx = len(out)
+                    out.append(
+                        (idx, idx * usec // 1000, payload[inner + 8 : inner + 8 + flen])
+                    )
+                inner += 8 + flen + (flen & 1)
+        pos += 8 + clen + (clen & 1)
+    return out

@@ -126,6 +126,51 @@ def test_weighted_pagerank_sums_duplicate_edges(spark):
     assert got_rev == got_dup
 
 
+def _reference_lpa(pairs, rounds):
+    """Pure-Python synchronous LPA, min-label tie-break — the exact
+    contract of graph.label_propagation."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from ffp_spark.graph import label_propagation
+
+    rng = random.Random(31)
+    # two dense blobs + a single bridge: communities must be recoverable
+    pairs = [(rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(70)]
+    pairs += [(rng.randrange(100, 112), rng.randrange(100, 112)) for _ in range(70)]
+    pairs += [(5, 105)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(e, rounds=3).collect()}
+    assert got == _reference_lpa(pairs, rounds=3)
+    # deterministic under a different partitioning
+    again = {
+        r.node: r.label
+        for r in label_propagation(e.repartition(13), rounds=3).collect()
+    }
+    assert again == got
+    # the blobs actually separate: no label crosses the bridge-only cut
+    low = {l for v, l in got.items() if v < 100}
+    high = {l for v, l in got.items() if v >= 100}
+    assert low.isdisjoint(high)
+
+
 def _naive_triangles(pairs):
     und = {frozenset(p) for p in pairs if p[0] != p[1]}
     nodes = sorted({n for e in und for n in e})

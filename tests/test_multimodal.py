@@ -95,6 +95,75 @@ def test_frame_sampling_row_counts(spark, media):
         assert n == expected, (mid, n, expected)
 
 
+def test_mjpeg_avi_frames_decode_real_pixels(spark):
+    """AVI/MJPEG is the one video container this environment can decode
+    end-to-end: RIFF 'movi' chunks are complete baseline JPEGs.  Each
+    sampled tick must carry the REAL pixels of the frame at-or-before
+    it (solid-color frames roundtrip losslessly at quant=4)."""
+    import numpy as np
+
+    from ffp_spark import mediacodec as mc
+
+    fps, n_frames, w, h = 2, 6, 24, 16  # 500ms per frame, 3000ms total
+    colors = [(37 * k) % 256 for k in range(n_frames)]
+    avi = mc.avi_encode_mjpeg(
+        [np.full((h, w, 3), c, dtype=np.uint8) for c in colors], fps=fps
+    )
+    media = spark.createDataFrame(
+        [("v0", "video", bytearray(avi), None, 3000)], schema=MEDIA_SCHEMA
+    )
+    rows = sorted(sample_frames(media, every_ms=1000).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in rows] == [0, 1000, 2000]
+    for r in rows:
+        assert (r.width, r.height) == (w, h)
+        src_idx = int(r.ts_ms) // 500  # frame at-or-before the tick
+        expected = bytes([colors[src_idx]] * (w * h * 3))
+        assert bytes(r.frame) == expected, r.frame_idx
+
+
+def test_video_degrade_paths(spark):
+    """Non-MJPEG video (MP4 without ffmpeg) and corrupt RIFF payloads
+    degrade to deterministic fake frames with NULL dims — row-level
+    degradation, never a task failure or NotImplementedError."""
+    import hashlib
+
+    from ffp_spark import mediacodec as mc
+
+    mp4 = mc.mp4_box(mvhd_timescale=1000, mvhd_duration=1200)
+    corrupt = b"RIFF\x20\x00\x00\x00AVI " + b"\xde\xad\xbe\xef" * 8
+    media = spark.createDataFrame(
+        [
+            ("m0", "video", bytearray(mp4), None, 1200),
+            ("c0", "video", bytearray(corrupt), None, 900),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = {(r.media_id, r.frame_idx): r for r in sample_frames(media, every_ms=500).collect()}
+    assert len(rows) == 3 + 2  # ceil(1200/500) + ceil(900/500)
+    for (mid, idx), r in rows.items():
+        assert r.width is None and r.height is None
+        assert bytes(r.frame) == hashlib.sha256(f"{mid}:{idx}".encode()).digest()
+
+
+def test_probe_avi_header(spark):
+    import numpy as np
+
+    from ffp_spark import mediacodec as mc
+    from ffp_spark.multimodal import probe_media
+
+    avi = mc.avi_encode_mjpeg(
+        [np.zeros((12, 20, 3), dtype=np.uint8)] * 4, fps=4
+    )
+    media = spark.createDataFrame(
+        [("a0", "video", bytearray(avi), None, None)], schema=MEDIA_SCHEMA
+    )
+    r = probe_media(media).collect()[0]
+    assert r.mime == "video/x-msvideo"
+    assert (r.width, r.height) == (20, 12)
+    assert r.duration_ms == 1000
+
+
 def test_embeddings_feed_ann(spark, media):
     emb = embed_media(media).filter("embedding is not null")
     row = emb.select(F.size("embedding").alias("d")).distinct().collect()
@@ -348,8 +417,11 @@ class TestRealCodecs:
                 assert p.sample_rate == 8000 and p.channels == 1
                 assert p.duration_ms == s.duration_ms
             else:
-                assert p.mime == "video/mp4"
-                assert p.duration_ms == s.duration_ms  # real mvhd parse
+                assert p.mime in ("video/mp4", "video/x-msvideo")
+                assert p.duration_ms == s.duration_ms  # real mvhd/avih parse
+                if p.mime == "video/x-msvideo":
+                    # AVI probes carry real frame dimensions too
+                    assert p.width is not None and p.height is not None
 
     def test_decode_audio_real_features(self, spark, media):
         import math
