@@ -3,13 +3,22 @@
 Deterministic synthetic edge lists built JVM-side from F.sequence +
 xxhash64 (no driver-side data, no wall clock / unseeded randomness):
 
-* pagerank: 10M-edge two-tier graph (10% of edges land on a 1k-node
-  hot set over 1M nodes — hub skew like a web graph), 5 iterations.
+* pagerank (unweighted AND weighted): 10M-edge two-tier graph (10% of
+  edges land on a 1k-node hot set over 1M nodes — hub skew like a web
+  graph), 5 iterations.
 * triangle_count: 2M-edge graph over 100k nodes (avg degree 40, hot
   set included) — exercises the degree-ordered orientation under skew.
+* bfs_depths, two shapes: hub graph (10M edges, 8 rounds — frontier
+  explodes, stresses the per-level join + anti-join at volume) and a
+  1M-node chain (16 rounds, frontier of ONE — stresses per-round fixed
+  overhead, the worst case for any iterative operator).
+* kcore_edges: 2M-edge graph, k=10, 6 peeling rounds.
+* label_propagation: 2M-edge graph, 3 rounds.
 
 Usage:  python bench/graph_stress.py [n_edges_pr] [n_edges_tri] [cpus]
-Prints one JSON line with walls and result fingerprints.
+Prints one JSON line with walls and result fingerprints.  Pin with
+taskset -c 0-(cpus-1) for scaling claims (local[N] caps task slots,
+not CPU).
 """
 
 from __future__ import annotations
@@ -43,7 +52,13 @@ def main() -> None:
     n_tri = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
-    from ffp_spark.graph import pagerank, triangle_count
+    from ffp_spark.graph import (
+        bfs_depths,
+        kcore_edges,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
     from ffp_spark.pipeline import build_session
 
     spark = build_session(
@@ -61,6 +76,40 @@ def main() -> None:
     out["pagerank_top_q"] = int(top[0].pr_q)
     out["pagerank_mass"] = int(scores.agg(F.sum("pr_q")).collect()[0][0])
 
+    # weighted PageRank on the same graph (w in 1..8; per-edge division
+    # happens in the edge-join projection — same shuffle shape)
+    e_prw = e_pr.withColumn(
+        "w", (F.abs(F.xxhash64("src", "dst", F.lit(4))) % 8 + 1).cast("long")
+    )
+    t0 = time.perf_counter()
+    scores_w = pagerank(e_prw, iters=5, weight="w")
+    top_w = scores_w.orderBy(F.desc("pr_q"), "node").limit(5).collect()
+    out["pagerank_weighted_sec"] = round(time.perf_counter() - t0, 2)
+    out["pagerank_weighted_top_q"] = int(top_w[0].pr_q)
+
+    # BFS shape 1: hub graph — frontier explodes to ~everything in a
+    # few levels; stresses the E-sized join + V-sized anti-join
+    sources = spark.createDataFrame([("n0",)], "node string")
+    t0 = time.perf_counter()
+    depths = bfs_depths(e_pr, sources, max_depth=8)
+    hub_hist = {int(r.depth): int(r.n) for r in depths.groupBy("depth").agg(
+        F.count("*").alias("n")).collect()}
+    out["bfs_hub_sec"] = round(time.perf_counter() - t0, 2)
+    out["bfs_hub_reached"] = sum(hub_hist.values())
+
+    # BFS shape 2: 1M-node chain, frontier of ONE per level — measures
+    # the per-round fixed cost (job barrier + checkpoint), the honest
+    # worst case for iterative frontier expansion
+    chain = spark.range(1_000_000 - 1).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("c"), (F.col("id") + 1).cast("string")).alias("dst"),
+    )
+    c_src = spark.createDataFrame([("c0",)], "node string")
+    t0 = time.perf_counter()
+    c_depths = bfs_depths(chain, c_src, max_depth=16)
+    out["bfs_chain_reached"] = c_depths.count()
+    out["bfs_chain_sec"] = round(time.perf_counter() - t0, 2)
+
     e_tri = make_edges(spark, n_tri, n_nodes=100_000, hot_nodes=1_000, hot_pct=10)
     t0 = time.perf_counter()
     row = triangle_count(e_tri).collect()[0]
@@ -69,6 +118,16 @@ def main() -> None:
     out["n_triangles"] = int(row.n_triangles)
     out["tri_nodes"] = int(row.n_nodes)
     out["tri_edges"] = int(row.n_edges)
+
+    t0 = time.perf_counter()
+    core = kcore_edges(e_tri, k=10, rounds=6)
+    out["kcore_edges_out"] = core.count()
+    out["kcore_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    comm = label_propagation(e_tri, rounds=3)
+    out["lpa_communities"] = comm.select("label").distinct().count()
+    out["lpa_sec"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(out))
     spark.stop()
