@@ -157,6 +157,55 @@ FROM documents
 """
 
 
+def _q_stream_join_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join value oracle: the doc-feed pages
+    land on one stream, the crawler's fetch metadata (http_status,
+    latency) on a second; stream_join_fetch_meta buffers both sides in
+    the state store and joins on url + a |fetch_ts - warc_ts| <= 1h
+    range (the condition that lets Spark EVICT buffered rows).  Two
+    files per trigger on each side force cross-micro-batch matches.
+    Statuses come from doc_id arithmetic, so the drained table's
+    per-status counts replay in DuckDB exactly."""
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.streaming import run_stream_join_to_table
+
+    base = tempfile.mkdtemp(prefix="ffp_ssj_q_")
+    pages_dir, meta_dir = f"{base}/pages", f"{base}/meta"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    pages.coalesce(4).write.mode("overwrite").parquet(pages_dir)
+    # fetch metadata: same urls, fetch_ts shortly after crawl ts,
+    # status/latency from the doc id embedded in the url
+    d = F.regexp_extract("url", "feed-([0-9]+)", 1).cast("long")
+    meta = pages.select(
+        "url",
+        (F.col("warc_ts") + F.make_interval(secs=(d % 60).cast("double"))).alias("fetch_ts"),
+        (F.lit(200) + (d % 2) * 104).cast("int").alias("http_status"),
+        (50 + d % 200).cast("long").alias("latency_ms"),
+    )
+    meta.coalesce(4).write.mode("overwrite").parquet(meta_dir)
+    run_stream_join_to_table(
+        spark, pages_dir, meta_dir, out, ckpt, max_files_per_trigger=2
+    )
+    joined = spark.read.parquet(out)
+    return (
+        joined.groupBy("http_status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("http_status")
+    )
+
+
+_ORACLE_ONLY["stream_join_status_counts"] = """
+SELECT CAST(200 + (doc_id % 2) * 104 AS INT) AS http_status,
+       count(*) AS n
+FROM documents
+GROUP BY http_status
+ORDER BY http_status
+"""
+
+
 def _q_kg_author_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity cardinalities after canonicalization: 5 synthetic authors."""
     from ffp_spark.docfeeds import documents_as_pages, load_documents
@@ -1657,6 +1706,78 @@ def _q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ONLY["graph_pagerank_weighted"] = _pagerank_oracle(iters=4, weighted=True)
 
 
+def _q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: reset mass concentrates
+    on a 3-supplier source set instead of spreading uniformly — the
+    random-surfer-with-bookmarks model used for seed-biased entity
+    importance in a KG.  Same integer recurrence as graph_pagerank
+    (teleport term gated by the source flag), same unrolled-CTE DuckDB
+    oracle with the CASE-gated base term."""
+    from ffp_spark.graph import pagerank
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    # undirected (both directions): suppliers are sinks in the directed
+    # bipartite graph and personalized mass would never leave the seeds
+    edges = spark.sql("""
+        WITH cs AS (
+          SELECT DISTINCT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM cs
+    """)
+    sources = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "node string")
+    scores = pagerank(edges, iters=4, sources=sources)
+    return (
+        scores.where(F.col("pr_q") > 0)
+        .orderBy(F.desc("pr_q"), "node")
+        .limit(20)
+    )
+
+
+def _ppr_oracle(iters: int = 4) -> str:
+    from ffp_spark.graph import PR_SCALE
+
+    srcs = "('s1'), ('s2'), ('s3')"
+    ctes = [
+        f"""cs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s, c FROM cs),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sset AS (SELECT node FROM (VALUES {srcs}) v(node)
+         WHERE node IN (SELECT node FROM nodes)),
+ns AS (SELECT count(*) AS n FROM sset),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+s0 AS (SELECT n.node,
+              CASE WHEN n.node IN (SELECT node FROM sset)
+                   THEN {PR_SCALE} // (SELECT n FROM ns) ELSE 0 END AS q
+       FROM nodes n)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM sset)
+              THEN (SELECT (15 * {PR_SCALE}) // (100 * n) FROM ns) ELSE 0 END
+         + (85 * COALESCE(sum(s.q // od.d), 0)) // 100 AS q
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  LEFT JOIN od ON od.src = e.src
+  GROUP BY n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(q AS BIGINT) AS pr_q FROM s{iters} WHERE q > 0"
+        + "\nORDER BY pr_q DESC, node LIMIT 20"
+    )
+
+
+_ORACLE_ONLY["graph_pagerank_personalized"] = _ppr_oracle()
+
+
 def _q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop-distance histogram from supplier s1 over the undirected
     customer<->supplier order graph.  Spark runs iterative frontier
@@ -2308,6 +2429,102 @@ _SQL_QUERIES["url_canonicalize"] = _url_canon_sql("VARCHAR", ", 'g'")
 _SPARK_DIALECT["url_canonicalize"] = _url_canon_sql("STRING", "")
 
 
+# CCNet-style language-model quality score: an in-corpus unigram LM
+# scores each document by mean token surprisal ln(N/tf) — the standard
+# perplexity-proxy filter for training-data curation (high surprisal =
+# rare-token soup, low = boilerplate).  Exactness: surprisal quantizes
+# to integer micro-nats per TOKEN TYPE (one round per vocab entry, both
+# engines round the same double), then document scores are pure integer
+# sums and one integral division — associative, partition-invariant,
+# engine-identical.  At scale: vocab tf is a partial-agg shuffle; the
+# (tok -> surprisal) table is vocabulary-sized and broadcasts into the
+# token stream; docs reduce map-side.
+def _lm_sql(toks: str, idiv: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tok FROM documents
+),
+tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM toks),
+surp AS (
+  SELECT tok,
+         CAST(round(ln((SELECT n FROM tot) * 1.0 / c) * 1000000, 0) AS BIGINT) AS s
+  FROM tf
+),
+doc AS (
+  SELECT t.doc_id, count(*) AS n_toks, sum(s.s) AS s_sum
+  FROM toks t JOIN surp s ON s.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(s_sum {idiv} n_toks AS BIGINT) AS mean_surprisal_micro
+FROM doc
+ORDER BY mean_surprisal_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+_SQL_QUERIES["lm_quality_score"] = _lm_sql(
+    "unnest(string_split(lower(text), ' '))", "//"
+)
+_SPARK_DIALECT["lm_quality_score"] = _lm_sql(
+    "explode(split(lower(text), ' '))", "div"
+)
+
+
+# Gopher/C4-style rule-based curation filter: per-document structural
+# signals (word count, mean word length in integer micro-chars,
+# stopword presence) gated by the classic min/max thresholds, reported
+# as per-rule pass/fail counts plus the ALL_RULES conjunction — the
+# decision table a 100 TB curation run ships to its data card.  Pure
+# codegen (no UDF); integer arithmetic end-to-end.
+def _gopher_sql(nwords: str, hasstop: str, idiv: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {nwords} AS n_words, length(text) AS n_chars,
+         CASE WHEN {hasstop} THEN 1 ELSE 0 END AS has_stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS r_minw,
+         CASE WHEN n_words <= 35 THEN 1 ELSE 0 END AS r_maxw,
+         CASE WHEN ((n_chars - (n_words - 1)) * 1000000) {idiv} n_words
+                   BETWEEN 3000000 AND 7000000
+              THEN 1 ELSE 0 END AS r_mwl,
+         has_stop AS r_stop
+  FROM d
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_fail AS BIGINT) AS n_fail FROM (
+  SELECT 'min_words' AS rule, sum(r_minw) AS n_pass,
+         count(*) - sum(r_minw) AS n_fail FROM f
+  UNION ALL
+  SELECT 'max_words', sum(r_maxw), count(*) - sum(r_maxw) FROM f
+  UNION ALL
+  SELECT 'mean_word_len', sum(r_mwl), count(*) - sum(r_mwl) FROM f
+  UNION ALL
+  SELECT 'stopword', sum(r_stop), count(*) - sum(r_stop) FROM f
+  UNION ALL
+  SELECT 'ALL_RULES', sum(r_minw * r_maxw * r_mwl * r_stop),
+         count(*) - sum(r_minw * r_maxw * r_mwl * r_stop) FROM f
+) t
+ORDER BY rule
+"""
+
+
+_SQL_QUERIES["gopher_quality_rules"] = _gopher_sql(
+    "len(string_split(text, ' '))",
+    "list_contains(string_split(lower(text), ' '), 'the')",
+    "//",
+)
+_SPARK_DIALECT["gopher_quality_rules"] = _gopher_sql(
+    "size(split(text, ' '))",
+    "array_contains(split(lower(text), ' '), 'the')",
+    "div",
+)
+
+
 # Multi-level aggregation: GROUPING SETS (detail, subtotal, grand
 # total in ONE pass — Spark expands to a single Expand + hash agg, no
 # re-scan per level).  Same SQL text runs on both engines.
@@ -2637,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # design (no previously-green query loses its row); their hard
     # evidence is tools/oracle_check.py at sf0.001 + sf0.01 (judge-run)
     all_q["graph_label_propagation"] = _q_graph_label_propagation
+    all_q["graph_pagerank_personalized"] = _q_graph_pagerank_personalized
+    all_q["stream_join_status_counts"] = _q_stream_join_status_counts
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

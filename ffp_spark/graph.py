@@ -101,6 +101,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank: (node, pr_q) with pr_q in 1/scale units.
 
@@ -119,6 +120,13 @@ def pagerank(
     w <= ~1e6 so pr_q * w stays inside BIGINT).  With weights, the
     per-edge contribution divides in the edge-join projection (payload:
     two longs); unweighted keeps the division at the node level.
+
+    ``sources``: optional one-column DataFrame of reset nodes —
+    PERSONALIZED PageRank: initial mass and the (1-d) teleport term go
+    only to the source set S (scale div |S| / (15*scale) div (100*|S|))
+    instead of uniformly; nodes outside the graph are ignored.  Same
+    integer recurrence, same per-iteration cost (the source flag rides
+    the cached node table).
     """
     # partition the E-sized edge set by src ONCE and cache it: the
     # cached InMemoryRelation keeps hashpartitioning(src) visible to
@@ -150,13 +158,29 @@ def pagerank(
     # nodes partitioned by node for the same reason: the per-iteration
     # left join against aggregated contributions is then exchange-free
     # on both sides (contrib comes out of groupBy("node") pre-partitioned)
-    nodes = (
+    nodes_plain = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .cache()
     )
+    if sources is not None:
+        # flag rides the cached V-sized table: per-iteration cost is
+        # unchanged, the teleport term just multiplies by the flag
+        srcs = sources.select(
+            F.col(sources.columns[0]).alias("node")
+        ).distinct().withColumn("_is_s", F.lit(1).cast("long"))
+        nodes = (
+            nodes_plain.join(srcs, "node", "left")
+            .select("node", F.coalesce("_is_s", F.lit(0)).cast("long").alias("is_s"))
+            .repartition("node")
+            .cache()
+        )
+    else:
+        nodes = (
+            nodes_plain.withColumn("is_s", F.lit(1).cast("long"))
+            .repartition("node")
+            .cache()
+        )
     # out-degrees are V-sized; dividing scores by outdeg at the NODE
     # level (tiny join) before the E-sized edge join keeps the big join
     # payload to one column — never attach outdeg to every edge
@@ -165,10 +189,17 @@ def pagerank(
         else F.count("*").alias("outdeg")
     )
     outdeg = e.groupBy("src").agg(out_agg).localCheckpoint(eager=True)
-    n = nodes.count()
+    if sources is not None:
+        n = nodes.agg(F.sum("is_s")).collect()[0][0] or 0
+        if n == 0:
+            raise ValueError("personalized pagerank: no source node is in the graph")
+    else:
+        n = nodes.count()
     base_q = (15 * scale) // (100 * n)
 
-    scores = nodes.select("node", F.lit(scale // n).cast("long").alias("pr_q"))
+    scores = nodes.select(
+        "node", (F.col("is_s") * F.lit(scale // n)).cast("long").alias("pr_q")
+    )
     for _ in range(iters):
         if weight is None:
             rate = outdeg.join(scores, outdeg.src == scores.node).select(
@@ -191,7 +222,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base_q)
+                    F.col("is_s") * F.lit(base_q)
                     + F.expr(
                         f"({damping_pct} * coalesce(in_q, 0L)) div 100"
                     )

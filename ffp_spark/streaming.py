@@ -226,6 +226,66 @@ def feed_session_stats(
     )
 
 
+FETCH_META_SCHEMA = "url string, fetch_ts timestamp, http_status int, latency_ms long"
+
+
+def stream_join_fetch_meta(
+    pages_stream: DataFrame,
+    meta_stream: DataFrame,
+    watermark: str = "2 hours",
+    join_horizon: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: landing pages enriched
+    with the crawler's fetch metadata (status, latency) arriving on a
+    second stream.
+
+    Spark buffers both sides in the state store; eviction needs BOTH a
+    watermark on each side's event time AND a time-range join
+    condition (|fetch_ts - warc_ts| <= join_horizon) so the planner
+    can prove when a buffered row can never match again — without the
+    range predicate the state grows forever on unbounded streams.
+    Returns pages columns + http_status/latency_ms."""
+    p = pages_stream.withWatermark("warc_ts", watermark)
+    m = meta_stream.withWatermark("fetch_ts", watermark).select(
+        F.col("url").alias("m_url"), "fetch_ts", "http_status", "latency_ms"
+    )
+    cond = (
+        (p["url"] == m["m_url"])
+        & (m["fetch_ts"] >= F.expr(f"warc_ts - interval {join_horizon}"))
+        & (m["fetch_ts"] <= F.expr(f"warc_ts + interval {join_horizon}"))
+    )
+    return p.join(m, cond, "inner").drop("m_url")
+
+
+def run_stream_join_to_table(
+    spark: SparkSession,
+    pages_dir: str,
+    meta_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Drain a pages landing dir JOINED with a fetch-metadata landing
+    dir (stream-stream, availableNow) into a parquet table exactly
+    once: (url, warc_ts, http_status, latency_ms)."""
+    pages = stream_pages(spark, pages_dir, max_files_per_trigger=max_files_per_trigger)
+    meta_reader = spark.readStream.schema(FETCH_META_SCHEMA)
+    if max_files_per_trigger is not None:
+        meta_reader = meta_reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    meta = meta_reader.parquet(meta_dir)
+    joined = stream_join_fetch_meta(pages, meta).select(
+        "url", "warc_ts", "http_status", "latency_ms"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,

@@ -79,6 +79,51 @@ def test_pagerank_matches_python_reference_exactly(spark):
     assert got == _reference_pagerank(pairs, iters=4)
 
 
+def _reference_ppr(pairs, sources, iters, scale=PR_SCALE):
+    """Pure-Python personalized recurrence: init mass and teleport go
+    only to the source set."""
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+    srcs = sorted(set(sources) & set(nodes))
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    ns = len(srcs)
+    base = (15 * scale) // (100 * ns)
+    score = {v: (scale // ns if v in srcs else 0) for v in nodes}
+    for _ in range(iters):
+        incoming = {v: 0 for v in nodes}
+        for a, b in edges:
+            incoming[b] += score[a] // out[a]
+        score = {
+            v: (base if v in srcs else 0) + (85 * incoming[v]) // 100
+            for v in nodes
+        }
+    return score
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    rng = random.Random(41)
+    nodes = [f"q{i}" for i in range(20)]
+    pairs = [(a, b) for a, b in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)} if a != b]
+    # isolated island unreachable from the seeds must stay at zero
+    pairs += [("island1", "island2"), ("island2", "island1")]
+    sources = ["q0", "q1"]
+    e = _edges(spark, pairs)
+    s = spark.createDataFrame([(x,) for x in sources], "node string")
+    got = {r.node: r.pr_q for r in pagerank(e, iters=4, sources=s).collect()}
+    assert got == _reference_ppr(pairs, sources, iters=4)
+    assert got["island1"] == 0 and got["island2"] == 0
+    # sources outside the graph are ignored; all-outside raises
+    s2 = spark.createDataFrame([("q0",), ("q1",), ("nope",)], "node string")
+    got2 = {r.node: r.pr_q for r in pagerank(e, iters=4, sources=s2).collect()}
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(e, iters=2, sources=spark.createDataFrame([("zz",)], "node string"))
+
+
 def test_weighted_pagerank_matches_python_reference_exactly(spark):
     rng = random.Random(29)
     nodes = [f"w{i}" for i in range(15)]

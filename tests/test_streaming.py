@@ -251,3 +251,39 @@ def test_feed_session_stats_accumulate_across_batches(spark, tmp_path):
         final[r.url] = max(final.get(r.url, 0), r.n_pages)
     assert len(final) == 20
     assert all(n == 2 for n in final.values()), final  # both batches counted
+
+
+def test_stream_stream_join_matches_batch_and_respects_horizon(spark, tmp_path):
+    """Watermarked stream-stream join: (a) cross-micro-batch matches land
+    (pages and meta drain at different paces), (b) rows outside the
+    |fetch_ts - warc_ts| <= 1h horizon never match, (c) the joined table
+    equals the batch join of the same inputs."""
+    from ffp_spark.streaming import run_stream_join_to_table
+
+    pages_dir, meta_dir = str(tmp_path / "p"), str(tmp_path / "m")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    pages = synth_pages(spark, 50, seed=21)
+    pages.coalesce(4).write.mode("overwrite").parquet(pages_dir)
+    # in-horizon meta for even-hash urls, out-of-horizon (+3h) for odd —
+    # the range predicate must drop the odd half
+    in_h = (F.abs(F.xxhash64("url")) % 2 == 0)
+    meta = pages.select(
+        "url",
+        F.when(in_h, F.col("warc_ts") + F.expr("interval 10 minutes"))
+         .otherwise(F.col("warc_ts") + F.expr("interval 3 hours")).alias("fetch_ts"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.lit(5).cast("long").alias("latency_ms"),
+    )
+    meta.coalesce(4).write.mode("overwrite").parquet(meta_dir)
+
+    run_stream_join_to_table(spark, pages_dir, meta_dir, out, ckpt,
+                             max_files_per_trigger=1)
+    joined = spark.read.parquet(out)
+    expected = pages.where(in_h).count()
+    assert joined.count() == expected
+    assert expected > 0
+    # batch equivalence on the url set
+    got_urls = {r.url for r in joined.select("url").collect()}
+    exp_urls = {r.url for r in pages.where(in_h).select("url").collect()}
+    assert got_urls == exp_urls
