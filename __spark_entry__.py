@@ -2745,6 +2745,280 @@ ORDER BY dur_ms DESC, user_id, session_idx LIMIT 20
 """
 
 
+# --- word n-gram explode, shared by the curation queries below.  The
+# 100 TB shape: one narrow projection per document (no self-join on
+# token position — n-grams come from a higher-order slice over the
+# already-split word array, so gram emission is pure codegen inside the
+# scan stage and the only shuffle is whatever aggregation follows).
+def _grams(n: int, dialect: str) -> str:
+    """Snippet producing (doc_id, gram) for word n-grams of length n."""
+    if dialect == "duck":
+        return f"""
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+                i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+  WHERE len(ws) >= {n}"""
+    return f"""
+  SELECT doc_id,
+         explode(transform(sequence(1, size(ws) - {n - 1}),
+                 i -> array_join(slice(ws, i, {n}), ' '))) AS gram
+  FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
+  WHERE size(ws) >= {n}"""
+
+
+# Benchmark decontamination: the n-gram-overlap check every serious
+# training-data pipeline runs before shipping a corpus (is a training
+# document quoting the eval set?).  A deterministic slice of the corpus
+# (doc_id % 37 = 3) stands in for the benchmark; each remaining
+# document is scored by the fraction of its distinct word n-grams that
+# appear anywhere in the benchmark (integer micro-fraction).  Real
+# pipelines use 13-grams; n=3 here because the synthetic vocabulary is
+# ~30 words — the plan shape is identical.  At scale: the benchmark
+# gram set is benchmark-sized (tiny vs the corpus) and broadcasts into
+# the training-gram stream; the per-doc reduce is a partial agg.
+def _decontam_sql(dialect: str, idiv: str) -> str:
+    return f"""
+WITH g AS ({_grams(3, dialect)}),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 3),
+evh AS (SELECT gram, 1 AS hit FROM ev),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 37 != 3),
+sc AS (
+  SELECT tr.doc_id, count(*) AS n_grams,
+         sum(coalesce(evh.hit, 0)) AS n_contam
+  FROM tr LEFT JOIN evh ON evh.gram = tr.gram
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_contam AS BIGINT) AS n_contam,
+       CAST((n_contam * 1000000) {idiv} n_grams AS BIGINT) AS contam_frac_micro
+FROM sc
+ORDER BY contam_frac_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+_SQL_QUERIES["decontaminate_ngram_overlap"] = _decontam_sql("duck", "//")
+_SPARK_DIALECT["decontaminate_ngram_overlap"] = _decontam_sql("spark", "div")
+
+
+# Gopher-style repetition filter: the two classic within-document
+# repetition signals — duplicate word-bigram fraction and
+# most-common-word fraction — as integer micro-fractions with the
+# standard pass gates.  Boilerplate and generator loops light up both.
+# Pure codegen; the only shuffles are the two per-doc aggregations.
+def _repetition_sql(dialect: str, idiv: str) -> str:
+    toks = (
+        "unnest(string_split(lower(text), ' '))"
+        if dialect == "duck"
+        else "explode(split(lower(text), ' '))"
+    )
+    return f"""
+WITH g AS ({_grams(2, dialect)}),
+big AS (
+  SELECT doc_id, count(*) AS n_big, count(DISTINCT gram) AS nd_big
+  FROM g GROUP BY doc_id
+),
+uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, {toks} AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+u AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM uni GROUP BY doc_id),
+sc AS (
+  SELECT u.doc_id,
+         ((big.n_big - big.nd_big) * 1000000) {idiv} big.n_big AS dup_bigram_micro,
+         (u.top_c * 1000000) {idiv} u.n_words AS top_word_micro
+  FROM u JOIN big ON big.doc_id = u.doc_id
+)
+SELECT doc_id, CAST(dup_bigram_micro AS BIGINT) AS dup_bigram_micro,
+       CAST(top_word_micro AS BIGINT) AS top_word_micro,
+       CAST(CASE WHEN dup_bigram_micro <= 200000 AND top_word_micro <= 200000
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM sc
+ORDER BY dup_bigram_micro DESC, top_word_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+_SQL_QUERIES["repetition_filter"] = _repetition_sql("duck", "//")
+_SPARK_DIALECT["repetition_filter"] = _repetition_sql("spark", "div")
+
+
+# Balanced stratified sampling: downsample every language stratum to
+# the smallest stratum's size, deterministically (rank by md5 of the
+# doc id — stable across runs, engines and partitionings; no RNG).
+# The checksum column makes the SELECTED SET part of the oracle
+# contract, not just the counts.  At scale this is one window per
+# stratum (shuffle on lang) + a scalar min that broadcasts.
+def _stratified_sql(strcast: str, idiv: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS {strcast})), doc_id) AS rn
+  FROM documents
+),
+m AS (SELECT min(cnt) AS mn FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang) t)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN rn <= (SELECT mn FROM m) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= (SELECT mn FROM m) THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_SQL_QUERIES["stratified_balanced_sample"] = _stratified_sql("VARCHAR", "//")
+_SPARK_DIALECT["stratified_balanced_sample"] = _stratified_sql("STRING", "div")
+
+
+# Inverted-index construction: term -> (df, head of the sorted posting
+# list) for the 20 highest-df terms — the retrieval-serving artifact a
+# KG/search pipeline materializes from the corpus.  Posting lists are
+# per-term sorted arrays; emitting the head as a string makes the list
+# CONTENT oracle-checked.  At scale: one (doc,term) distinct shuffle,
+# then a per-term agg; posting arrays are bounded by the slice.
+def _invindex_sql(postings: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, {{toks}} AS tok FROM documents) t
+  WHERE tok != ''
+),
+agg AS (
+  SELECT tok, count(*) AS df, {postings} AS posting_head
+  FROM toks GROUP BY tok
+)
+SELECT tok, CAST(df AS BIGINT) AS df, posting_head
+FROM agg
+ORDER BY df DESC, tok
+LIMIT 20
+"""
+
+
+_SQL_QUERIES["inverted_index_postings"] = _invindex_sql(
+    "array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',')"
+).format(toks="unnest(string_split(lower(text), ' '))")
+_SPARK_DIALECT["inverted_index_postings"] = _invindex_sql(
+    "array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 8),"
+    " x -> CAST(x AS STRING)), ',')"
+).format(toks="explode(split(lower(text), ' '))")
+
+
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED customer->supplier order
+    graph (customers are pure hubs, suppliers pure authorities — the
+    bipartite shape makes the two score vectors meaningfully distinct).
+    Integer sum-normalized recurrence (graph.hits), bit-identical to
+    the unrolled-CTE DuckDB replay."""
+    from ffp_spark.graph import hits
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        SELECT DISTINCT concat('c', o_custkey) AS src,
+                        concat('s', l_suppkey) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """)
+    return (
+        hits(edges, iters=3)
+        .orderBy(F.desc("auth_q"), F.desc("hub_q"), "node")
+        .limit(20)
+    )
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    from ffp_spark.graph import HITS_SCALE as S
+
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST({s} AS BIGINT) AS q FROM nodes)""".format(s=S)
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS (
+  SELECT n.node, COALESCE(sum(h.q), 0) AS raw
+  FROM nodes n LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY n.node
+),
+a{i} AS (SELECT node, (raw * {S}) // (SELECT sum(raw) FROM ar{i}) AS q FROM ar{i}),
+hr{i} AS (
+  SELECT n.node, COALESCE(sum(a.q), 0) AS raw
+  FROM nodes n LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.node
+),
+h{i} AS (SELECT node, (raw * {S}) // (SELECT sum(raw) FROM hr{i}) AS q FROM hr{i})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.node, CAST(h.q AS BIGINT) AS hub_q, CAST(a.q AS BIGINT) AS auth_q
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+ORDER BY auth_q DESC, hub_q DESC, h.node LIMIT 20"""
+    )
+
+
+_ORACLE_ONLY["graph_hits"] = _hits_oracle()
+
+
+def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from supplier s1 over the
+    undirected order graph, edge weight = min quantity ever shipped on
+    the relationship (integral 1..50).  Fixed-round Bellman-Ford
+    (graph.sssp): per round one dist->edges join + one min-agg — never
+    all-pairs; the DuckDB oracle unrolls the identical rounds."""
+    from ffp_spark.graph import sssp
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        WITH cs AS (
+          SELECT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s,
+                 CAST(min(l_quantity) AS BIGINT) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT c AS src, s AS dst, w FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst, w FROM cs
+    """)
+    sources = spark.createDataFrame([("s1",)], "node string")
+    return sssp(edges, sources, rounds=4).orderBy("dist", "node").limit(20)
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    ctes = [
+        """cs AS (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e0 AS (SELECT c AS src, s AS dst, w FROM cs UNION ALL SELECT s, c, w FROM cs),
+e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) t GROUP BY node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+        + "\nORDER BY dist, node LIMIT 20"
+    )
+
+
+_ORACLE_ONLY["graph_sssp"] = _sssp_oracle()
+
+
 # The driver's correctness gate checks ONLY the first 50 entries of the
 # dict returned by queries() (observed in CORRECTNESS_r03.json: exactly
 # registration positions 1-50 got rows).  _GATE_WINDOW pins the 50
@@ -2856,6 +3130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_label_propagation"] = _q_graph_label_propagation
     all_q["graph_pagerank_personalized"] = _q_graph_pagerank_personalized
     all_q["stream_join_status_counts"] = _q_stream_join_status_counts
+    all_q["graph_hits"] = _q_graph_hits
+    all_q["graph_sssp"] = _q_graph_sssp
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

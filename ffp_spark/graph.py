@@ -446,3 +446,139 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+HITS_SCALE = 10**6  # hub/authority mass unit; V * scale^2 must fit BIGINT
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact HITS (hubs and authorities): (node, hub_q, auth_q)
+    in 1/scale units, sum-normalized each half-step.
+
+    Same exactness contract as :func:`pagerank`: all arithmetic is
+    BIGINT with integral division, so scores are bit-identical across
+    partitionings and engines.  Sum-normalization (q = raw * scale div
+    total) replaces the usual L2 norm — no sqrt, same fixed point
+    ranking.  ``scale`` must satisfy V * scale^2 < 2^63 (raw scores are
+    bounded by V * scale before normalizing); the 1e6 default holds to
+    ~9e6 nodes, pass a smaller scale beyond that.
+
+    Per half-step: one join edges->scores (edge set shuffled/cached
+    once, scores V-sized) + one groupBy + a single-row total that
+    broadcasts; per-step localCheckpoint keeps lineage O(1).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition("src")
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .cache()
+    )
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        # keep zero-score nodes (they dropped out of the groupBy) and
+        # divide by the global total — a single-row broadcast
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        tot = full.agg(F.sum("raw").alias("tot"))
+        return (
+            full.crossJoin(tot)
+            .select(
+                "node",
+                F.expr(f"(raw * {scale}) div tot").cast("long").alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("node", F.lit(scale).cast("long").alias("q")).localCheckpoint(
+        eager=True
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, e.src == h.node)
+            .select(F.col("dst").alias("node"), F.col("q"))
+            .groupBy("node")
+            .agg(F.sum("q").alias("raw"))
+        )
+        a = _norm(a_raw)
+        h_raw = (
+            e.join(a, e.dst == a.node)
+            .select(F.col("src").alias("node"), F.col("q"))
+            .groupBy("node")
+            .agg(F.sum("q").alias("raw"))
+        )
+        h = _norm(h_raw)
+    out = (
+        h.select("node", F.col("q").alias("hub_q"))
+        .join(a.select("node", F.col("q").alias("auth_q")), "node")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source (or multi-source) shortest paths over non-negative
+    INTEGER edge weights: Bellman-Ford with a fixed round count.
+
+    Returns (node, dist) for every node reached within ``rounds``
+    hops — a well-defined deterministic object whatever the round
+    count (the DuckDB oracle unrolls the same rounds); pick ``rounds``
+    >= the weighted diameter in hops for the true distances.  Parallel
+    edges resolve to their MIN weight (deterministic, and the only one
+    a shortest path could use).
+
+    Per round: one join dist->edges (E shuffled/cached once, dist is
+    V-sized) + one min-aggregation, checkpointed — O(1) lineage,
+    O(rounds) barriers, never an all-pairs product.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .cache()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = e.join(dist, e.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

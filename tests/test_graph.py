@@ -343,3 +343,101 @@ def test_triangle_plan_has_no_cartesian(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
     plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _reference_hits(pairs, iters, scale):
+    """Pure-Python integer sum-normalized HITS."""
+    edges = sorted(set(pairs))
+    nodes = sorted({n for e in edges for n in e})
+
+    def norm(raw):
+        tot = sum(raw.values())
+        return {v: (raw[v] * scale) // tot for v in nodes}
+
+    h = {v: scale for v in nodes}
+    a = None
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        a = norm(raw_a)
+        raw_h = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        h = norm(raw_h)
+    return h, a
+
+
+def test_hits_matches_python_reference(spark):
+    from ffp_spark.graph import HITS_SCALE, hits
+
+    rng = random.Random(53)
+    nodes = [f"h{i}" for i in range(18)]
+    pairs = [
+        (x, y)
+        for x, y in {(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)}
+        if x != y
+    ]
+    got = {r.node: (r.hub_q, r.auth_q) for r in hits(_edges(spark, pairs), iters=3).collect()}
+    eh, ea = _reference_hits(pairs, iters=3, scale=HITS_SCALE)
+    assert got == {v: (eh[v], ea[v]) for v in eh}
+
+
+def test_hits_bipartite_separates_hubs_from_authorities(spark):
+    from ffp_spark.graph import hits
+
+    # two customers each buying from both suppliers: customers are pure
+    # hubs (auth 0), suppliers pure authorities (hub 0)
+    pairs = [("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c2", "s2")]
+    got = {r.node: (r.hub_q, r.auth_q) for r in hits(_edges(spark, pairs), iters=2).collect()}
+    assert got["c1"][1] == 0 and got["c2"][1] == 0
+    assert got["s1"][0] == 0 and got["s2"][0] == 0
+    assert got["c1"][0] == got["c2"][0] > 0
+    assert got["s1"][1] == got["s2"][1] > 0
+
+
+def _reference_sssp(wpairs, srcs, rounds):
+    """Pure-Python fixed-round Bellman-Ford with min-weight parallel
+    edge resolution."""
+    best = {}
+    for s, d, w in wpairs:
+        best[(s, d)] = min(best.get((s, d), w), w)
+    dist = {s: 0 for s in srcs}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (s, d), w in best.items():
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_python_reference(spark):
+    from ffp_spark.graph import sssp
+
+    rng = random.Random(59)
+    nodes = [f"v{i}" for i in range(16)]
+    wpairs = [
+        (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+        for _ in range(70)
+    ]
+    wpairs = [(a, b, w) for a, b, w in wpairs if a != b]
+    # unreachable island must be absent from the result
+    wpairs += [("isl1", "isl2", 1)]
+    e = spark.createDataFrame(wpairs, "src string, dst string, w long")
+    s = spark.createDataFrame([("v0",)], "node string")
+    got = {r.node: r.dist for r in sssp(e, s, rounds=5).collect()}
+    assert got == _reference_sssp(wpairs, ["v0"], rounds=5)
+    assert "isl1" not in got and "isl2" not in got
+
+
+def test_sssp_prefers_cheap_two_hop_over_heavy_direct(spark):
+    from ffp_spark.graph import sssp
+
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("a", "m", 2), ("m", "b", 3)],
+        "src string, dst string, w long",
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in sssp(e, s, rounds=3).collect()}
+    assert got == {"a": 0, "m": 2, "b": 5}
