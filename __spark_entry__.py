@@ -3019,6 +3019,107 @@ d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist)"""
 _ORACLE_ONLY["graph_sssp"] = _sssp_oracle()
 
 
+def _q_semdedup_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dedup (ann.semdedup): IVF-cluster the
+    embeddings (deterministic seeds + quantized Lloyd step, same build
+    the ann_ivf oracle replays), then discard any vector whose cell
+    holds a lower-id neighbor at cosine >= 0.40.  Within-cell pairs
+    only — never corpus all-pairs."""
+    from ffp_spark.ann import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
+    return semdedup(emb, n_cells=8, threshold=0.40).orderBy("vec_id")
+
+
+# Replays the IVF build (identical to ann_ivf's oracle: seeds ->
+# assign -> quantized Lloyd -> re-assign), then the within-cell
+# lower-id discard rule.
+_ORACLE_ONLY["semdedup_discards"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC, cell DESC) AS rn
+  FROM e CROSS JOIN seeds
+),
+asg1 AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+mu AS (
+  SELECT cell, i.i AS dim,
+         CAST(round(avg(v[i.i]) * 1000000, 0) AS BIGINT) / 1000000.0 AS m
+  FROM asg1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY cell, i.i
+),
+cent AS (SELECT cell, list(m ORDER BY dim) AS c FROM mu GROUP BY cell),
+a2 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC, cell DESC) AS rn
+  FROM e CROSS JOIN cent
+),
+asg2 AS (SELECT vec_id, v, cell FROM a2 WHERE rn = 1),
+p AS (
+  SELECT x.cell, y.vec_id AS b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM asg2 x JOIN asg2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+)
+SELECT b AS vec_id, cell, CAST(count(*) AS BIGINT) AS n_lower,
+       round(max(cos), 4) AS best_sim
+FROM p WHERE cos >= 0.40
+GROUP BY b, cell
+ORDER BY vec_id
+"""
+
+
+# Entity resolution — the KG-construction core step: noisy surface
+# mentions resolved against a canonical entity dictionary.  Mentions
+# are deterministic single-char-deletion corruptions of nation names
+# (position driven by the customer key); candidate generation is
+# MULTI-KEY BLOCKING (first-char block UNION last-char block — a
+# deletion can break one of them but not both unless the name is
+# 1 char), refined by levenshtein <= 2 and ranked (distance, entity).
+# levenshtein() is the same well-defined metric in Spark and DuckDB,
+# so scores and ranks agree exactly.  At 100 TB: the entity dictionary
+# is dictionary-sized and broadcasts into both block joins; candidate
+# fan-out is bounded by block sizes, never mentions x entities.
+_SQL_QUERIES["entity_resolution"] = """
+WITH m AS (
+  SELECT c_custkey AS mention_id, n_name AS true_entity,
+         concat(substring(n_name, 1, CAST(c_custkey % length(n_name) AS INT)),
+                substring(n_name, CAST(c_custkey % length(n_name) AS INT) + 2)) AS mention
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+cand AS (
+  SELECT m.mention_id, m.mention, m.true_entity, n.n_name AS entity
+  FROM m JOIN nation n ON substring(m.mention, 1, 1) = substring(n.n_name, 1, 1)
+  UNION
+  SELECT m.mention_id, m.mention, m.true_entity, n.n_name AS entity
+  FROM m JOIN nation n ON right(m.mention, 1) = right(n.n_name, 1)
+),
+scored AS (
+  SELECT mention_id, true_entity, entity,
+         levenshtein(mention, entity) AS dist,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY levenshtein(mention, entity), entity) AS rn
+  FROM cand
+  WHERE levenshtein(mention, entity) <= 2
+),
+res AS (SELECT mention_id, true_entity, entity, dist FROM scored WHERE rn = 1)
+SELECT m.true_entity,
+       count(*) AS n_mentions,
+       CAST(count(r.entity) AS BIGINT) AS n_resolved,
+       CAST(sum(CASE WHEN r.entity = m.true_entity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM m LEFT JOIN res r ON r.mention_id = m.mention_id
+GROUP BY m.true_entity
+ORDER BY m.true_entity
+"""
+
+
 # The driver's correctness gate checks ONLY the first 50 entries of the
 # dict returned by queries() (observed in CORRECTNESS_r03.json: exactly
 # registration positions 1-50 got rows).  _GATE_WINDOW pins the 50
@@ -3132,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["stream_join_status_counts"] = _q_stream_join_status_counts
     all_q["graph_hits"] = _q_graph_hits
     all_q["graph_sssp"] = _q_graph_sssp
+    all_q["semdedup_discards"] = _q_semdedup_discards
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

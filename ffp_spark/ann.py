@@ -193,3 +193,43 @@ def ivf_topk(
         assigned.filter(F.col("cell").isin(probe_cells)), query, k=k,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def semdedup(
+    emb: DataFrame, n_cells: int = 8, threshold: float = 0.40,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare pairs
+    ONLY within a cluster — the standard way to make embedding-level
+    near-dedup tractable (within-cell pairs, never corpus all-pairs;
+    at larger corpora raise n_cells so cells stay bounded).
+
+    Clustering is the IVF build (deterministic seeds + one quantized
+    Lloyd step — cross-engine exact cell assignment); a vector is
+    DISCARDED when some lower-id vector in its cell has cosine >=
+    threshold (lowest id is the kept representative — deterministic,
+    no RNG).  Returns discarded rows: (id_col, cell, n_lower,
+    best_sim).
+    """
+    cents = ivf_centroids(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    # both sides of the self-join consume the assignment — materialize
+    # once (the centroid argmax projection would otherwise re-run)
+    asg = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
+    x = asg.select(F.col(id_col).alias("a"), _as_double(vec_col).alias("va"), "cell")
+    y = asg.select(F.col(id_col).alias("b"), _as_double(vec_col).alias("vb"), "cell")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        x.join(y, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select("cell", "b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+    return pairs.groupBy(F.col("b").alias(id_col), "cell").agg(
+        F.count("*").alias("n_lower"),
+        F.round(F.max("cos"), 4).alias("best_sim"),
+    )

@@ -173,3 +173,38 @@ class TestSimHash:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
         plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Generate" not in plan, plan  # no explode in the code path
+
+
+class TestSemDedup:
+    def test_semdedup_discards_near_copies_keeps_representatives(self, spark):
+        from ffp_spark.ann import semdedup
+
+        # 8 far-apart seed directions (ids 0-7 become the 8 IVF seeds);
+        # ids 8/9 are near-copies of seeds 2 and 5 (same cell, cos ~1);
+        # id 10 shares cell 1's neighborhood but stays below threshold
+        dim = 16
+
+        def basis(i, eps=0.0):
+            v = [0.0] * dim
+            v[i] = 1.0
+            if eps:
+                v[(i + 1) % dim] = eps
+            return v
+
+        rows = [(i, basis(i)) for i in range(8)]
+        rows += [(8, basis(2, eps=0.05)), (9, basis(5, eps=0.03))]
+        mixed = [0.0] * dim
+        mixed[1], mixed[9] = 1.0, 2.0  # nearest to cell 1 but cos ~0.45 < 0.6
+        rows += [(10, mixed)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: (r.cell, r.n_lower) for r in semdedup(emb, n_cells=8, threshold=0.6).collect()}
+        assert set(got) == {8, 9}
+        assert got[8] == (2, 1) and got[9] == (5, 1)
+
+    def test_semdedup_empty_when_threshold_above_max_sim(self, spark, emb):
+        from ffp_spark.ann import semdedup
+
+        assert semdedup(emb.filter("vec_id <> 0"), n_cells=8, threshold=0.999).count() == 0
