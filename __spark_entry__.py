@@ -3075,6 +3075,94 @@ ORDER BY vec_id
 """
 
 
+def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style training-corpus generation with zero RNG
+    (graph.deterministic_walks): each supplier starts one walk over the
+    undirected order graph; step t moves to the neighbor minimizing
+    md5(seed|start|t|neighbor).  Hash-ranked selection makes the walk
+    set a pure function of the graph — DuckDB replays every hop."""
+    from ffp_spark.graph import deterministic_walks
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        WITH cs AS (
+          SELECT DISTINCT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM cs
+    """)
+    starts = spark.sql("""
+        SELECT DISTINCT concat('s', l_suppkey) AS node
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """)
+    return deterministic_walks(edges, starts, walk_len=4).orderBy("start").limit(20)
+
+
+def _walks_oracle(walk_len: int = 4) -> str:
+    ctes = [
+        """cs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT c AS src, s AS dst FROM cs UNION SELECT s, c FROM cs),
+w0 AS (SELECT DISTINCT s AS start, s AS cur, s AS path FROM cs)"""
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(f"""w{t} AS (
+  SELECT start, dst AS cur, path || '>' || dst AS path FROM (
+    SELECT w.start, w.path, e.dst,
+           row_number() OVER (PARTITION BY w.start
+             ORDER BY md5(concat('w|', w.start, '|{t}|', e.dst)), e.dst) AS rn
+    FROM w{t - 1} w JOIN e ON e.src = w.cur
+  ) t WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT start, path FROM w{walk_len} ORDER BY start LIMIT 20"
+    )
+
+
+_ORACLE_ONLY["graph_walks"] = _walks_oracle()
+
+
+def _q_kg_incremental_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 incremental-maintenance value oracle: snapshot 1 commits the
+    even doc-feed pages; snapshot 2 ingests the FULL corpus with
+    incremental_from=1 — the seen-url anti-join means only the odd
+    delta is parsed, and the parent's committed graph is merged forward
+    (append-only logical snapshot over a physical delta).  The
+    committed snapshot-2 node table must equal a full recompute: its
+    per-kind counts are pure corpus arithmetic DuckDB replays (items
+    per doc, feeds per source, 5 canonical authors)."""
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.pipeline import run_snapshot
+    from ffp_spark.snapshots import read_snapshot
+
+    root = tempfile.mkdtemp(prefix="ffp_incr_q_")
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    d = F.regexp_extract("url", "feed-([0-9]+)", 1).cast("long")
+    run_snapshot(spark, pages.where(d % 2 == 0), root, snapshot_id=1)
+    run_snapshot(spark, pages, root, snapshot_id=2, incremental_from=1)
+    nodes = read_snapshot(spark, root, "nodes", 2)
+    return nodes.groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
+
+
+_ORACLE_ONLY["kg_incremental_nodes"] = """
+SELECT kind, n FROM (
+  SELECT 'author' AS kind, count(DISTINCT doc_id % 5) AS n FROM documents
+  UNION ALL
+  SELECT 'feed', count(DISTINCT source) FROM documents
+  UNION ALL
+  SELECT 'item', count(*) FROM documents
+) t
+ORDER BY kind
+"""
+
+
 # Entity resolution — the KG-construction core step: noisy surface
 # mentions resolved against a canonical entity dictionary.  Mentions
 # are deterministic single-char-deletion corruptions of nation names
@@ -3234,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_hits"] = _q_graph_hits
     all_q["graph_sssp"] = _q_graph_sssp
     all_q["semdedup_discards"] = _q_semdedup_discards
+    all_q["kg_incremental_nodes"] = _q_kg_incremental_nodes
+    all_q["graph_walks"] = _q_graph_walks
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

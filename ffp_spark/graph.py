@@ -531,6 +531,66 @@ def hits(
     return out
 
 
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_len: int = 4,
+    seed: str = "w",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Pseudo-random walk corpus (DeepWalk/node2vec-style input for
+    graph-embedding training) with NO RNG: at step t the walk at
+    ``start`` moves to the neighbor minimizing
+    md5(seed|start|t|neighbor) — hash-ranked neighbor selection, so the
+    walk set is a pure function of (graph, starts, seed) and replays
+    exactly in SQL on any engine.
+
+    Returns (start, path) with path = '>'-joined node sequence.  One
+    walk per start node; dead-end nodes simply stop extending.  Per
+    step: one join walk-frontier->edges (E shuffled/cached once) + one
+    per-start window — walk state is |starts|-sized, checkpointed per
+    step (O(1) lineage).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition("src")
+        .cache()
+    )
+    from pyspark.sql import Window
+
+    w = (
+        starts.select(F.col(starts.columns[0]).alias("start"))
+        .distinct()
+        .select("start", F.col("start").alias("cur"), F.col("start").alias("path"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, walk_len + 1):
+        h = F.md5(F.concat_ws("|", F.lit(seed), "start", F.lit(str(t)), "dst"))
+        win = Window.partitionBy("start").orderBy(
+            F.col("h").asc_nulls_last(), F.col("dst").asc_nulls_last()
+        )
+        w = (
+            # left join: dead ends carry (cur, path) forward unchanged
+            w.join(e, w.cur == e.src, "left")
+            .withColumn("h", h)
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(
+                "start",
+                F.coalesce("dst", "cur").alias("cur"),
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat_ws(">", "path", "dst"),
+                ).otherwise(F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return w.select("start", "path")
+
+
 def sssp(
     edges: DataFrame,
     sources: DataFrame,

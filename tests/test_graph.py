@@ -441,3 +441,39 @@ def test_sssp_prefers_cheap_two_hop_over_heavy_direct(spark):
     s = spark.createDataFrame([("a",)], "node string")
     got = {r.node: r.dist for r in sssp(e, s, rounds=3).collect()}
     assert got == {"a": 0, "m": 2, "b": 5}
+
+
+def test_deterministic_walks_match_python_reference_and_handle_dead_ends(spark):
+    import hashlib
+
+    from ffp_spark.graph import deterministic_walks
+
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "e"),  # e is a dead end: walk must stop extending there
+    ]
+    e = _edges(spark, pairs)
+    starts = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r.start: r.path for r in deterministic_walks(e, starts, walk_len=4, seed="w").collect()}
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+
+    def ref_walk(start, walk_len):
+        cur, path = start, start
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                continue
+            nxt = min(
+                nbrs,
+                key=lambda v: (hashlib.md5(f"w|{start}|{t}|{v}".encode()).hexdigest(), v),
+            )
+            path += ">" + nxt
+            cur = nxt
+        return path
+
+    assert got == {"a": ref_walk("a", 4), "d": ref_walk("d", 4)}
+    # d's walk hits the dead end e after one hop and stays length 1
+    assert got["d"] == "d>e"
