@@ -129,6 +129,33 @@ def main() -> None:
     out["lpa_communities"] = comm.select("label").distinct().count()
     out["lpa_sec"] = round(time.perf_counter() - t0, 2)
 
+    # round-4 operators, same 10M-edge skewed graph where applicable
+    from ffp_spark.graph import deterministic_walks, hits, sssp
+
+    t0 = time.perf_counter()
+    ha = hits(e_pr, iters=3)
+    top_a = ha.orderBy(F.desc("auth_q"), F.desc("hub_q"), "node").limit(5).collect()
+    out["hits_sec"] = round(time.perf_counter() - t0, 2)
+    out["hits_top_auth_q"] = int(top_a[0].auth_q)
+
+    e_w = e_pr.withColumn(
+        "w", (F.abs(F.xxhash64("src", "dst", F.lit(5))) % 8 + 1).cast("long")
+    )
+    t0 = time.perf_counter()
+    d = sssp(e_w, sources, rounds=6)
+    out["sssp_reached"] = d.count()
+    out["sssp_sec"] = round(time.perf_counter() - t0, 2)
+
+    # 100k concurrent walks of length 4: walk state is |starts|-sized,
+    # each step joins the frontier against the cached 10M-edge set
+    walk_starts = spark.range(100_000).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("node")
+    )
+    t0 = time.perf_counter()
+    walks = deterministic_walks(e_pr, walk_starts, walk_len=4)
+    out["walks_n"] = walks.count()
+    out["walks_sec"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     spark.stop()
 
