@@ -3208,6 +3208,61 @@ ORDER BY m.true_entity
 """
 
 
+def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two approximate ANN tiers against the exact
+    brute-force top-10, as an ORACLED metric (measure, don't guess —
+    the quality/cost trade of the bucketed search paths is part of the
+    checked contract, not a claim).  Integer ppm so the comparison is
+    exact."""
+    from ffp_spark.ann import cosine_topk, ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id <> 0")
+    q = _query_vec(spark, sf_dir)
+    exact = cosine_topk(emb, q, k=10).select("vec_id")
+    lsh = lsh_topk(emb, q, k=10, n_planes=4, seed=7).select(
+        F.lit("lsh").alias("method"), "vec_id"
+    )
+    ivf = ivf_topk(emb, q, k=10, n_cells=8, nprobe=2).select(
+        F.lit("ivf").alias("method"), "vec_id"
+    )
+    return (
+        lsh.unionByName(ivf)
+        .join(exact, "vec_id")
+        .groupBy("method")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .select(
+            "method",
+            "n_hits",
+            F.expr("(n_hits * 1000000) div 10").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("method")
+    )
+
+
+_ORACLE_ONLY["ann_recall_eval"] = f"""
+WITH exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)))) AS c
+    FROM embeddings WHERE vec_id <> 0
+  ) t ORDER BY c DESC, vec_id LIMIT 10
+),
+lsh AS (SELECT vec_id FROM ({_ann_lsh_oracle(n_planes=4)}) t),
+ivf AS (SELECT vec_id FROM ({{IVF}}) t),
+m AS (SELECT 'ivf' AS method, vec_id FROM ivf
+      UNION ALL SELECT 'lsh', vec_id FROM lsh)
+SELECT method, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((count(*) * 1000000) // 10 AS BIGINT) AS recall_ppm
+FROM m JOIN exact USING (vec_id)
+GROUP BY method ORDER BY method
+""".replace("{IVF}", _ORACLE_ONLY["ann_ivf"])
+
+
 # Cross-document duplicate spans (the simplified form of
 # suffix-array exact-substring dedup, Lee et al. 2022 "Deduplicating
 # Training Data Makes Language Models Better"): the most-repeated word
@@ -3427,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["semdedup_discards"] = _q_semdedup_discards
     all_q["kg_incremental_nodes"] = _q_kg_incremental_nodes
     all_q["graph_walks"] = _q_graph_walks
+    all_q["ann_recall_eval"] = _q_ann_recall_eval
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -118,6 +118,13 @@ def main() -> None:
         "pii_scrub",
         "asof_join_events",
         "bm25_topk",
+        # round-4 additions (4 queries: graph_hits, semdedup_discards,
+        # decontaminate_ngram_overlap, entity_resolution) — totals are
+        # NOT line-comparable to BENCH_r03; per-query rows are
+        "graph_hits",
+        "semdedup_discards",
+        "decontaminate_ngram_overlap",
+        "entity_resolution",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
