@@ -147,3 +147,27 @@ def test_ivf_assignment_is_projection_only(spark):
     plan = _plan(assigned)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    # The eval-slice gram set is benchmark-sized vs the corpus: the
+    # anti-contamination join must broadcast it into the training-gram
+    # stream, never sort-merge two corpus-sized sides.
+    import __spark_entry__ as em
+
+    df = em.queries()["decontaminate_ngram_overlap"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_entity_resolution_broadcasts_dictionary_no_nested_loop(spark):
+    # Both blocking joins hit the (tiny) entity dictionary — broadcast —
+    # and nothing in the plan degenerates to a nested loop product.
+    import __spark_entry__ as em
+
+    df = em.queries()["entity_resolution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
