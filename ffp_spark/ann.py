@@ -214,15 +214,22 @@ def semdedup(
     """
     cents = ivf_centroids(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     # both sides of the self-join consume the assignment — materialize
-    # once (the centroid argmax projection would otherwise re-run)
-    asg = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col).localCheckpoint(
-        eager=True
+    # once, WITH the norm precomputed per ROW: inside the pair loop only
+    # one dot product remains (computing both norms per PAIR would
+    # triple the dominant per-pair cost)
+    v = _as_double(vec_col)
+    asg = (
+        ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "cell", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+        .localCheckpoint(eager=True)
     )
-    x = asg.select(F.col(id_col).alias("a"), _as_double(vec_col).alias("va"), "cell")
-    y = asg.select(F.col(id_col).alias("b"), _as_double(vec_col).alias("vb"), "cell")
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    x = asg.select(
+        F.col(id_col).alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
     )
+    y = asg.select(
+        F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (
         x.join(y, "cell")
         .where(F.col("a") < F.col("b"))
