@@ -3366,6 +3366,61 @@ _SPARK_DIALECT["hll_merge_by_type"] = _hll_merge_sql(
 )
 
 
+_SWC_COUNTER = [0]  # memory-sink names must be unique per call, no RNG
+
+
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 watermarked WINDOWED-AGGREGATION value oracle: the doc-feed
+    corpus drained through the file stream into 1-minute event-time
+    windows (warc_ts = epoch + doc_id seconds, so window membership is
+    doc_id div 60 — pure arithmetic DuckDB replays).  Complete-mode
+    memory sink so every window is present deterministically; two
+    files per trigger forces cross-micro-batch window updates."""
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.streaming import stream_pages, windowed_pred_counts
+
+    base = tempfile.mkdtemp(prefix="ffp_swc_q_")
+    landing = f"{base}/landing"
+    pages = documents_as_pages(load_documents(spark, sf_dir))
+    pages.coalesce(4).write.mode("overwrite").parquet(landing)
+    stream = windowed_pred_counts(
+        stream_pages(spark, landing, max_files_per_trigger=2), window="1 minute"
+    )
+    _SWC_COUNTER[0] += 1
+    sink = f"swc_sink_{_SWC_COUNTER[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # epoch-ms BIGINT, the repo's oracle convention for event times
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_millis("window_start").cast("long").alias("window_start_ms"),
+            "n_entries",
+            "n_published",
+            "n_authored",
+        )
+        .orderBy("window_start_ms")
+    )
+
+
+_ORACLE_ONLY["stream_windowed_counts"] = """
+SELECT epoch_ms(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (doc_id // 60) MINUTE)
+         AS window_start_ms,
+       count(*) AS n_entries, count(*) AS n_published, count(*) AS n_authored
+FROM documents
+GROUP BY window_start_ms
+ORDER BY window_start_ms
+"""
+
+
 # Mergeable quantile summary: fixed-width integer histograms per
 # event type, MERGED by bin-count addition into the ALL row (like the
 # HLL register-max merge, this is the associativity that distributes —
@@ -3510,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["kg_incremental_nodes"] = _q_kg_incremental_nodes
     all_q["graph_walks"] = _q_graph_walks
     all_q["ann_recall_eval"] = _q_ann_recall_eval
+    all_q["stream_windowed_counts"] = _q_stream_windowed_counts
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
