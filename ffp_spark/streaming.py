@@ -264,16 +264,22 @@ def run_stream_join_to_table(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: Optional[int] = None,
+    watermark: str = "2 hours",
 ) -> None:
     """Drain a pages landing dir JOINED with a fetch-metadata landing
     dir (stream-stream, availableNow) into a parquet table exactly
-    once: (url, warc_ts, http_status, latency_ms)."""
+    once: (url, warc_ts, http_status, latency_ms).
+
+    ``watermark`` must cover the corpus's event-time span when the
+    caller needs EVERY pair joined (a lagging side whose buffered rows
+    age past the watermark is dropped mid-drain — callers with a value
+    oracle derive the watermark from the span; ADVICE r4)."""
     pages = stream_pages(spark, pages_dir, max_files_per_trigger=max_files_per_trigger)
     meta_reader = spark.readStream.schema(FETCH_META_SCHEMA)
     if max_files_per_trigger is not None:
         meta_reader = meta_reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     meta = meta_reader.parquet(meta_dir)
-    joined = stream_join_fetch_meta(pages, meta).select(
+    joined = stream_join_fetch_meta(pages, meta, watermark=watermark).select(
         "url", "warc_ts", "http_status", "latency_ms"
     )
     q = (

@@ -208,3 +208,70 @@ class TestSemDedup:
         from ffp_spark.ann import semdedup
 
         assert semdedup(emb.filter("vec_id <> 0"), n_cells=8, threshold=0.999).count() == 0
+
+
+class TestArrowBackend:
+    """The broadcast-centroid mapInArrow assignment and the grouped-Arrow
+    pair scoring are the 100 TB plans (no n_cells-sized Janino expression,
+    no interpreted per-pair higher-order functions) — and they must be
+    BIT-identical to the literal/SQL plans so the auto-dispatch threshold
+    can never change an oracle answer.  `_fold_dots` replays F.aggregate's
+    left-to-right accumulation order to guarantee that."""
+
+    def test_arrow_assignment_bit_identical_to_literal(self, spark, emb):
+        from ffp_spark.ann import ivf_assign, ivf_centroids
+
+        e = emb.filter("vec_id <> 0")
+        cents = ivf_centroids(e, n_cells=8)
+        lit = {r.vec_id: r.cell for r in ivf_assign(e, cents, backend="literal").collect()}
+        arw = {r.vec_id: r.cell for r in ivf_assign(e, cents, backend="arrow").collect()}
+        assert lit == arw and len(lit) == e.count()
+
+    def test_auto_dispatch_crosses_threshold_consistently(self, spark, emb):
+        # above MAX_LITERAL_CELLS the auto path IS the arrow path, and it
+        # still matches a forced-literal run at the same cell count
+        from ffp_spark.ann import MAX_LITERAL_CELLS, ivf_assign, ivf_centroids
+
+        e = emb.filter("vec_id <> 0")
+        n = MAX_LITERAL_CELLS + 8
+        cents = ivf_centroids(e, n_cells=n, backend="arrow")
+        auto = ivf_assign(e, cents)  # dispatches to arrow (n > threshold)
+        assert "MapInArrow" in auto._jdf.queryExecution().executedPlan().toString()
+        lit = {r.vec_id: r.cell for r in ivf_assign(e, cents, backend="literal").collect()}
+        assert {r.vec_id: r.cell for r in auto.collect()} == lit
+
+    def test_arrow_assignment_plan_no_join_no_exchange(self, spark, emb):
+        from ffp_spark.ann import ivf_assign, ivf_centroids
+
+        e = emb.filter("vec_id <> 0")
+        cents = ivf_centroids(e, n_cells=8)
+        plan = ivf_assign(e, cents, backend="arrow")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_semdedup_arrow_backend_bit_identical_to_sql(self, spark, emb):
+        from ffp_spark.ann import semdedup
+
+        e = emb.filter("vec_id <> 0")
+        sql = {(r.vec_id, r.cell, r.n_lower, r.best_sim)
+               for r in semdedup(e, n_cells=8, threshold=0.40, backend="sql").collect()}
+        arw = {(r.vec_id, r.cell, r.n_lower, r.best_sim)
+               for r in semdedup(e, n_cells=8, threshold=0.40, backend="arrow").collect()}
+        assert sql == arw and len(sql) > 0
+
+    def test_arrow_pair_scoring_blocks_match_unblocked(self, spark, emb):
+        # block size smaller than the cell population exercises the
+        # row-block gram accumulation seams
+        from ffp_spark.ann import _dot, _as_double, _semdedup_pairs_arrow, ivf_assign, ivf_centroids
+        from pyspark.sql import functions as F
+
+        e = emb.filter("vec_id <> 0")
+        cents = ivf_centroids(e, n_cells=4)
+        v = _as_double("embedding")
+        asg = ivf_assign(e, cents).select(
+            "vec_id", "cell", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+        ).cache()
+        big = {(r.cell, r.b, r.cos) for r in _semdedup_pairs_arrow(asg, 0.35, "vec_id", block=512).collect()}
+        tiny = {(r.cell, r.b, r.cos) for r in _semdedup_pairs_arrow(asg, 0.35, "vec_id", block=7).collect()}
+        asg.unpersist()
+        assert big == tiny and len(big) > 0
