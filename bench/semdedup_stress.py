@@ -57,6 +57,24 @@ def main() -> None:
     out = semdedup(emb, n_cells=n_cells, threshold=0.55)
     n_discard = out.count()
     wall = round(time.perf_counter() - t0, 2)
+
+    # pair-count bound evidence: within-cell pairs vs corpus all-pairs.
+    # Recomputed from the same deterministic assignment (cheap relative
+    # to the dedup run); the bound is the structural claim the 100 TB
+    # design rests on — cluster-then-dedup must keep it ~N^2/cells.
+    from ffp_spark.ann import ivf_assign, ivf_centroids
+
+    backend = "arrow" if n_cells > 64 else "auto"
+    cents = ivf_centroids(emb, n_cells=n_cells, backend=backend)
+    cell_sizes = (
+        ivf_assign(emb, cents, backend=backend)
+        .groupBy("cell").count().select("count").collect()
+    )
+    pairs_within = sum(int(r["count"]) * (int(r["count"]) - 1) // 2 for r in cell_sizes)
+    pairs_all = n * (n - 1) // 2
+    assert pairs_within * 4 < pairs_all, (
+        f"pair bound violated: {pairs_within} within-cell vs {pairs_all} all-pairs"
+    )
     print(
         json.dumps(
             {
@@ -67,6 +85,9 @@ def main() -> None:
                 "n_cells": n_cells,
                 "wall_sec": wall,
                 "n_discarded": int(n_discard),
+                "pairs_within_cells": int(pairs_within),
+                "pairs_all_pairs": int(pairs_all),
+                "pair_reduction_x": round(pairs_all / max(1, pairs_within), 1),
             }
         )
     )

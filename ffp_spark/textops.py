@@ -233,3 +233,113 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 6
     heads)."""
     norm = F.lower(F.regexp_replace(F.substring(F.col(text_col), 1, window), r"\s+", " "))
     return docs.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))
+
+
+# ---------------------------------------------------------------------------
+# Learned BPE (byte-pair encoding) — a REAL trained merge table, not the
+# regex approximation in token_counts_bpe
+# ---------------------------------------------------------------------------
+
+#: token delimiter for the flat BPE word encoding (U+001F unit separator
+#: — never appears in corpus text).  A word's token sequence is stored
+#: as D t1 DD t2 DD ... tn D: every token owns its flanking delimiters,
+#: so replacing the substring D a DD b D with D ab D merges EXACTLY the
+#: non-overlapping left-to-right occurrences of the adjacent pair (a, b)
+#: — the greedy BPE apply — with plain string replace on BOTH engines
+#: (Spark `replace` and DuckDB `replace` share those semantics, so the
+#: oracle replays training verbatim).
+BPE_D = "\x1f"
+
+
+def _bpe_word_seqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, seq): distinct corpus words with occurrence counts
+    and the initial one-char-per-token delimited encoding.  Classic BPE
+    trains on word TYPES weighted by frequency — the vocabulary table is
+    tiny next to the corpus, so every merge iteration touches |vocab|
+    rows, not |corpus| tokens."""
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # one regexp wraps every char in its own delimiters: "cat" ->
+    # D c D D a D D t D (adjacent tokens share no delimiter chars)
+    seq = F.regexp_replace(F.col("word"), "(.)", BPE_D + "$1" + BPE_D)
+    return words.select("word", "cnt", seq.alias("seq"))
+
+
+def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """(left, right, n): corpus-weighted adjacent-token-pair counts from
+    the current encodings."""
+    toks = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), BPE_D + BPE_D
+    )
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("l"),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("r"),
+        )
+    )
+    return (
+        seqs.select("cnt", pair.alias("p"))
+        .select("cnt", F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
+    """Train a BPE merge table on the corpus: ``n_merges`` rounds of
+    merge-the-most-frequent-adjacent-pair, ties broken lexicographically
+    on (left, right) — fully deterministic, no RNG.
+
+    Returns (merges, seqs): ``merges`` is a list of (step, left, right,
+    pair_count) in merge order; ``seqs`` the final per-word encodings
+    (word, cnt, seq) for downstream apply.  Each round is one
+    distributed pair-count aggregation over the word-TYPE table plus an
+    O(1) driver collect of the winning pair (k rounds = k tiny
+    barriers, the same O(iters) shape as PageRank); the apply is a
+    single string replace per word."""
+    seqs = _bpe_word_seqs(docs, text_col=text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        top = (
+            _bpe_pair_counts(seqs)
+            .orderBy(F.desc("n"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        merges.append((step, left, right, n))
+        pat = BPE_D + left + BPE_D + BPE_D + right + BPE_D
+        rep = BPE_D + left + right + BPE_D
+        seqs = seqs.withColumn(
+            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+        ).localCheckpoint(eager=True)
+    return merges, seqs
+
+
+def bpe_token_counts(docs: DataFrame, seqs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the trained encodings corpus-wide: per-document subword
+    token count under the learned vocabulary.  The (word -> n_tokens)
+    map is vocabulary-sized and BROADCASTS into the corpus word stream;
+    the per-doc reduce is a map-side partial sum."""
+    n_toks = (F.length("seq") - F.length(F.replace("seq", F.lit(BPE_D + BPE_D), F.lit("")))) / 2 + 1
+    lens = seqs.select("word", n_toks.cast("long").alias("n_sub"))
+    stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    return (
+        stream.join(F.broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_sub").alias("n_subword_tokens"))
+    )
