@@ -2802,13 +2802,21 @@ def _grams(n: int, dialect: str) -> str:
 # gram set is benchmark-sized (tiny vs the corpus) and broadcasts into
 # the training-gram stream; the per-doc reduce is a partial agg.
 def _decontam_sql(dialect: str, idiv: str) -> str:
+    # The Spark dialect pins the benchmark-gram side as a BROADCAST by
+    # hint: the eval set is known-small by definition (it's a benchmark),
+    # but AQE cannot see that — its runtime size check reads the shuffle
+    # bytes BELOW evh's final distinct (pre-dedup, corpus-partition-
+    # count × vocab grams), so at 10M docs the SMJ→BHJ conversion never
+    # fires (measured in bench/curation_stress.py r5).  Declaring the
+    # broadcast is the honest 100 TB plan, not an optimizer workaround.
+    hint = "/*+ BROADCAST(evh) */ " if dialect == "spark" else ""
     return f"""
 WITH g AS ({_grams(3, dialect)}),
 ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 3),
 evh AS (SELECT gram, 1 AS hit FROM ev),
 tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 37 != 3),
 sc AS (
-  SELECT tr.doc_id, count(*) AS n_grams,
+  SELECT {hint}tr.doc_id, count(*) AS n_grams,
          sum(coalesce(evh.hit, 0)) AS n_contam
   FROM tr LEFT JOIN evh ON evh.gram = tr.gram
   GROUP BY tr.doc_id

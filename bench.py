@@ -125,6 +125,12 @@ def main() -> None:
         "semdedup_discards",
         "decontaminate_ngram_overlap",
         "entity_resolution",
+        # round-5 additions (3 queries: sequence_packing,
+        # shard_export_manifest, bpe_merge_table) — totals are NOT
+        # line-comparable to BENCH_r04; per-query rows are
+        "sequence_packing",
+        "shard_export_manifest",
+        "bpe_merge_table",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

@@ -555,7 +555,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
         elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported (baseline only)")
+            return jpeg_decode_progressive(payload)
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -630,6 +630,20 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                         planes[c["id"]][py0 : py0 + 8, px0 : px0 + 8] = block
             mcu_i += 1
 
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(
+    comps: list[dict],
+    planes: dict[int, np.ndarray],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, np.ndarray]:
+    """Shared decode tail: upsample chroma, YCbCr -> RGB, crop to w x h
+    (baseline and progressive paths produce identical plane grids)."""
+
     def upsample(c: dict) -> np.ndarray:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -650,7 +664,506 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return int(w), int(h), np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-# --- GIF pixel codec (real LZW, pure Python + numpy) -----------------------
+# --- progressive JPEG (SOF2) -----------------------------------------------
+#
+# Real multi-scan decode per ITU-T T.81 Annex G: spectral selection +
+# successive approximation, DC interleaved/non-interleaved scans, AC
+# per-component scans with EOB runs, refinement correction bits, DRI
+# restarts.  Coefficients accumulate across scans in per-component
+# grids; one vectorized dequant+IDCT at EOI.  Closes the last disclosed
+# media-decode degradation (r4 "What's missing" item 7): progressive
+# payloads previously fell back to header dims in multimodal.decode_images.
+
+
+def _jpeg_idct_grid(grid: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag coefficient grid -> (nby*8, nbx*8) plane."""
+    nby, nbx = grid.shape[:2]
+    nat = np.zeros((nby * nbx, 64), dtype=np.float64)
+    nat[:, _ZIGZAG] = grid.reshape(-1, 64)
+    m = nat.reshape(-1, 8, 8) * q
+    blocks = np.einsum("ij,njk,kl->nil", _DCT_C.T, m, _DCT_C) + 128.0
+    return (
+        blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    )
+
+
+def _ac_refine_block(
+    rdr: "_JBitReader",
+    act: "_HuffTable",
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC refinement scan (Annex G.1.2.3 / the
+    well-known decode_mcu_AC_refine structure).  ``coef`` is the 64-long
+    zigzag view; returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(rdr)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan magnitude must be 1")
+                newval = p1 if rdr.bits(1) else -p1
+            while k <= se:
+                v = int(coef[k])
+                if v != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if rdr.bits(1) and (v & p1) == 0:
+                        coef[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(coef[k])
+            if v != 0:
+                if rdr.bits(1) and (v & p1) == 0:
+                    coef[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def jpeg_decode_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real progressive JPEG decode (SOF2): any scan script with
+    spectral selection + successive approximation, DRI restarts,
+    subsampled components.  Returns (width, height, (h, w, 3) RGB)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    coefs: dict[int, np.ndarray] = {}
+    h = w = 0
+    hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            # 0x00: a stuffed entropy byte left over after a scan whose
+            # aligned tail ended in 0xFF — skip, it is not a marker
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported (baseline is 8)")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = {
+                c["id"]: np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            }
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scomps.append({"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError("progressive scan mixing DC and AC bands")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if se > 63 or ss > 63:
+                raise ValueError("bad spectral band")
+            pos = _decode_progressive_scan(
+                payload,
+                pos + 2 + seglen,
+                scomps,
+                ss,
+                se,
+                ah,
+                al,
+                huff,
+                coefs,
+                w,
+                h,
+                hmax,
+                vmax,
+                mcux,
+                mcuy,
+                restart_interval,
+            )
+            continue
+        pos += 2 + seglen
+    if not comps or not coefs:
+        raise ValueError("missing SOF/SOS")
+    planes = {
+        c["id"]: _jpeg_idct_grid(coefs[c["id"]], qt[c["tq"]]) for c in comps
+    }
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    data_start: int,
+    scomps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict[tuple[int, int], "_HuffTable"],
+    coefs: dict[int, np.ndarray],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy data into the coefficient grids;
+    returns the payload position to resume marker parsing at."""
+    rdr = _JBitReader(payload, data_start)
+    pred = {s["comp"]["id"]: 0 for s in scomps}
+    eobrun = 0
+    unit_i = 0  # MCU index (interleaved) or block index (single comp)
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            rdr.restart()
+            for kk in pred:
+                pred[kk] = 0
+            eobrun = 0
+
+    def dc_block(s: dict, coef: np.ndarray) -> None:
+        c = s["comp"]
+        if ah == 0:
+            dct_t = huff[(0, s["dc"])]
+            size = dct_t.decode(rdr)
+            diff = _extend(rdr.bits(size), size)
+            pred[c["id"]] += diff
+            coef[0] = pred[c["id"]] << al
+        elif rdr.bits(1):
+            coef[0] = int(coef[0]) | (1 << al)
+
+    if len(scomps) > 1:
+        # interleaved (DC bands only — validated by the caller; an
+        # ns == 1 scan is always non-interleaved per T.81 A.2)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for s in scomps:
+                    c = s["comp"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(
+                                s,
+                                coefs[c["id"]][my * c["v"] + by, mx * c["h"] + bx],
+                            )
+                unit_i += 1
+    else:
+        # non-interleaved: raster over the component's own block grid
+        s = scomps[0]
+        c = s["comp"]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        act = huff.get((1, s["ac"])) if ss > 0 else None
+        grid = coefs[c["id"]]
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                coef = grid[by, bx]
+                if ss == 0:
+                    dc_block(s, coef)
+                elif ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = act.decode(rdr)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC band overflow")
+                            coef[k] = _extend(rdr.bits(sz), sz) << al
+                            k += 1
+                else:
+                    eobrun = _ac_refine_block(rdr, act, coef, ss, se, al, eobrun)
+                unit_i += 1
+    return max(rdr.pos, data_start)
+
+
+def jpeg_encode_progressive(
+    rgb: np.ndarray,
+    quant: int = 2,
+    subsample: str = "444",
+) -> bytes:
+    """Real progressive JPEG writer (SOF2): the classic spectral-
+    selection + successive-approximation scan script (DC first at Al=1
+    then a refinement pass; luma AC split 1-5/6-63 at Al=2 refined in
+    two passes; chroma AC at Al=1 refined once).  Encodes the SAME
+    quantized coefficients as ``jpeg_encode`` — successive approximation
+    is lossless across scans — so ``jpeg_decode`` of both byte streams
+    yields bit-identical pixels (the roundtrip test's invariant)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("jpeg_encode_progressive expects (h, w, 3) uint8")
+    if not 2 <= int(quant) <= 255:
+        raise ValueError("quant must be in [2, 255]")
+    h, w = rgb.shape[:2]
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    if subsample == "420":
+        hs, vs = 2, 2
+    elif subsample == "422":
+        hs, vs = 2, 1
+    elif subsample == "444":
+        hs, vs = 1, 1
+    else:
+        raise ValueError(f"unsupported subsampling {subsample}")
+
+    def pad_to(a: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        return np.pad(a, ((0, mh - a.shape[0]), (0, mw - a.shape[1])), mode="edge")
+
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    gh = (h + mcu_h - 1) // mcu_h * mcu_h
+    gw = (w + mcu_w - 1) // mcu_w * mcu_w
+    y = pad_to(y, gh, gw)
+    cb = pad_to(cb, gh, gw)
+    cr = pad_to(cr, gh, gw)
+    if (hs, vs) != (1, 1):
+        cb = cb.reshape(gh // vs, vs, gw // hs, hs).mean(axis=(1, 3))
+        cr = cr.reshape(gh // vs, vs, gw // hs, hs).mean(axis=(1, 3))
+
+    qtab = np.full(64, int(quant), dtype=np.int64)
+
+    def coeff_grid(plane: np.ndarray) -> np.ndarray:
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        g = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                g[by, bx] = np.round(
+                    (_DCT_C @ b @ _DCT_C.T).reshape(64)[_ZIGZAG] / qtab
+                ).astype(np.int64)
+        return g
+
+    grids = [coeff_grid(y), coeff_grid(cb), coeff_grid(cr)]
+    samps = [(hs, vs), (1, 1), (1, 1)]
+    mcux, mcuy = gw // mcu_w, gh // mcu_h
+
+    dc_bits, dc_vals = _huff_flat(_DC_SYMS)
+    ac_bits, ac_vals = _huff_flat(_AC_SYMS)
+    dc_codes = _canon_codes(dc_bits, dc_vals)
+    ac_codes = _canon_codes(ac_bits, ac_vals)
+
+    def scan_blocks(ci: int):
+        """Non-interleaved block raster bounds for component ci."""
+        chi, cvi = samps[ci]
+        cw = -(-(w * chi) // hs)
+        chh = -(-(h * cvi) // vs)
+        return -(-chh // 8), -(-cw // 8)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        wtr = _JBitWriter()
+        pred = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    chi, cvi = samps[ci]
+                    for by in range(cvi):
+                        for bx in range(chi):
+                            dc = int(grids[ci][my * cvi + by, mx * chi + bx, 0])
+                            if refine:
+                                wtr.put((dc >> al) & 1, 1)
+                            else:
+                                v = dc >> al  # arithmetic shift per G.1.2.1
+                                size, bits = _magnitude(v - pred[ci])
+                                pred[ci] = v
+                                c, ln = dc_codes[size]
+                                wtr.put(c, ln)
+                                if size:
+                                    wtr.put(bits, size)
+        wtr.align()
+        return bytes(wtr.out)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _JBitWriter()
+        nby, nbx = scan_blocks(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grids[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    m = abs(v) >> al  # toward-zero point transform (G.1.2.2)
+                    if m == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        c, ln = ac_codes[0xF0]
+                        wtr.put(c, ln)
+                        r -= 16
+                    size, bits = _magnitude(m if v > 0 else -m)
+                    c, ln = ac_codes[(r << 4) | size]
+                    wtr.put(c, ln)
+                    wtr.put(bits, size)
+                    r = 0
+                if r:
+                    c, ln = ac_codes[0x00]  # per-block EOB (EOBRUN = 1)
+                    wtr.put(c, ln)
+        wtr.align()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _JBitWriter()
+        nby, nbx = scan_blocks(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grids[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(64)]
+                eob = ss - 1
+                for k in range(ss, se + 1):
+                    if absv[k]:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        c, ln = ac_codes[0xF0]
+                        wtr.put(c, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:
+                        # nonzero history: append a correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero at this approximation
+                    c, ln = ac_codes[(r << 4) | 1]
+                    wtr.put(c, ln)
+                    wtr.put(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r or br:
+                    c, ln = ac_codes[0x00]  # EOB, then trailing corrections
+                    wtr.put(c, ln)
+                    for b in br:
+                        wtr.put(b, 1)
+        wtr.align()
+        return bytes(wtr.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def sos(scomps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scomps)])
+        for ci in scomps:
+            body += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qtab.astype(np.uint8).tobytes())
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, (hs << 4) | vs, 0])
+    sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals))
+    # the classic libjpeg-style script: coarse DC, luma band split,
+    # chroma, then refinement passes down to full precision
+    out += sos([0, 1, 2], 0, 0, 0, 1) + dc_scan(1, refine=False)
+    out += sos([0], 1, 5, 0, 2) + ac_first_scan(0, 1, 5, 2)
+    out += sos([1], 1, 63, 0, 1) + ac_first_scan(1, 1, 63, 1)
+    out += sos([2], 1, 63, 0, 1) + ac_first_scan(2, 1, 63, 1)
+    out += sos([0], 6, 63, 0, 2) + ac_first_scan(0, 6, 63, 2)
+    out += sos([0], 1, 63, 2, 1) + ac_refine_scan(0, 1, 63, 1)
+    out += sos([0, 1, 2], 0, 0, 1, 0) + dc_scan(0, refine=True)
+    out += sos([0], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+    out += sos([1], 1, 63, 1, 0) + ac_refine_scan(1, 1, 63, 0)
+    out += sos([2], 1, 63, 1, 0) + ac_refine_scan(2, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 #
 # Encoder: palette-based GIF87a writer for images with <= 256 distinct
 # colors (variable-width LZW, deferred width growth per the GIF spec).

@@ -335,7 +335,9 @@ class TestJpegCodec:
             mc.jpeg_decode(b"\x00\x01")
         with pytest.raises(ValueError):
             mc.jpeg_encode(img, quant=1)  # 11-bit AC magnitudes
-        # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+        # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is
+        # invalid for progressive, so the mislabeled file must raise
+        # from the scan-header validation, not mis-decode
         i = bytes(p).find(b"\xff\xc0")
         p2 = bytearray(p)
         p2[i + 1] = 0xC2
@@ -358,6 +360,76 @@ class TestJpegCodec:
         assert (r.width, r.height) == (32, 24)
         got = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(24, 32, 3)
         assert np.abs(got.astype(int) - img.astype(int)).max() <= 8  # REAL pixels
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode: successive approximation is lossless
+    across scans, so decoding a progressive encoding must be
+    BIT-IDENTICAL to decoding the baseline encoding of the same image
+    at the same quant — both paths reconstruct the same coefficients."""
+
+    def test_progressive_matches_baseline_pixels_exactly(self):
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(7)
+        for (h, w), sub in [
+            ((20, 24), "444"),
+            ((33, 41), "444"),  # non-multiple-of-MCU dims
+            ((30, 44), "420"),
+            ((17, 25), "422"),
+            ((8, 8), "444"),
+        ]:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            _, _, base = mc.jpeg_decode(mc.jpeg_encode(img, quant=3, subsample=sub))
+            wp, hp, prog = mc.jpeg_decode(
+                mc.jpeg_encode_progressive(img, quant=3, subsample=sub)
+            )
+            assert (wp, hp) == (w, h)
+            assert np.array_equal(base, prog), (h, w, sub)
+
+    def test_progressive_smooth_and_flat(self):
+        # smooth gradients exercise long ZRL/EOB runs; flat color is
+        # DC-only (every AC scan is pure EOB streams)
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        smooth = TestJpegCodec._smooth(40, 56, 11)
+        _, _, base = mc.jpeg_decode(mc.jpeg_encode(smooth, quant=2))
+        _, _, prog = mc.jpeg_decode(mc.jpeg_encode_progressive(smooth, quant=2))
+        assert np.array_equal(base, prog)
+
+        flat = np.full((20, 24, 3), 99, dtype=np.uint8)
+        _, _, out = mc.jpeg_decode(mc.jpeg_encode_progressive(flat, quant=2))
+        assert np.array_equal(out, flat)
+
+    def test_progressive_truncated_raises_cleanly(self):
+        import pytest
+        from ffp_spark import mediacodec as mc
+
+        img = TestJpegCodec._smooth(24, 32, 5)
+        p = mc.jpeg_encode_progressive(img)
+        with pytest.raises(ValueError):
+            mc.jpeg_decode(p[:40])  # cut inside the first scan header
+
+    def test_progressive_decode_through_spark(self, spark):
+        # the multimodal decode path now yields REAL pixels for
+        # progressive payloads (previously degraded to header dims)
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+        from ffp_spark.multimodal import decode_images
+
+        img = TestJpegCodec._smooth(24, 32, 3)
+        rows = [
+            {"media_id": "jp0", "kind": "image",
+             "payload": mc.jpeg_encode_progressive(img, quant=2),
+             "mime": None, "duration_ms": None}
+        ]
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        r = decode_images(df).collect()[0]
+        assert (r.width, r.height) == (32, 24)
+        got = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(24, 32, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
 
 
 class TestRealCodecs:
