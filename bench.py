@@ -131,6 +131,8 @@ def main() -> None:
         "sequence_packing",
         "shard_export_manifest",
         "bpe_merge_table",
+        "bigram_lm_surprisal",
+        "boilerplate_chunks",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

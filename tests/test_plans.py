@@ -161,6 +161,18 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_source_cap_uses_window_group_limit(spark):
+    # The per-source top-k cap filters on row_number() <= k, which Spark
+    # must rewrite to WindowGroupLimit: each partition keeps a k-sized
+    # heap per group instead of fully sorting every group — the plan
+    # that survives a 100x fan-out per source.
+    import __spark_entry__ as em
+
+    df = em.queries()["source_capped_sample"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_entity_resolution_broadcasts_dictionary_no_nested_loop(spark):
     # Both blocking joins hit the (tiny) entity dictionary — broadcast —
     # and nothing in the plan degenerates to a nested loop product.

@@ -132,6 +132,107 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+class TestTokenBudgetMix:
+    def test_matches_python_reference(self, spark):
+        budget = 500
+        per = {}
+        for doc_id, text, source in _docs():
+            per.setdefault(source, []).append(
+                (hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id,
+                 len(text.split(" ")))
+            )
+        want = []
+        for source in sorted(per):
+            docs = sorted(per[source])
+            cum = used = kept = chk = 0
+            for _, doc_id, n in docs:
+                cum += n
+                if cum <= budget:
+                    kept += 1
+                    used += n
+                    chk += doc_id
+            want.append(
+                (source, len(docs), kept, used, (used * 1_000_000) // budget, chk)
+            )
+        assert _run(spark, "token_budget_mix") == want
+
+
+class TestBigramLmSurprisal:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        def bigrams(text):
+            ws = text.lower().split(" ")
+            return list(zip(ws, ws[1:]))
+
+        docs = _docs()
+        c12, c1, vocab = Counter(), Counter(), set()
+        for doc_id, text, _ in docs:
+            if doc_id % 10 < 8:
+                for w1, w2 in bigrams(text):
+                    c12[(w1, w2)] += 1
+                    c1[w1] += 1
+                    vocab.add(w1)
+                    vocab.add(w2)
+        nv = len(vocab)
+        rows = []
+        for doc_id, text, _ in docs:
+            if doc_id % 10 < 8:
+                continue
+            bgs = bigrams(text)
+            if not bgs:
+                continue
+            s_sum = 0
+            for bg in bgs:
+                x = math.log((c1[bg[0]] + nv) / (c12[bg] + 1))
+                s_sum += math.floor(x * 10_000 + 0.5)  # round half-up, x >= 0
+            rows.append((doc_id, len(bgs), s_sum // len(bgs)))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        assert _run(spark, "bigram_lm_surprisal") == rows[:20]
+
+
+class TestBoilerplateChunks:
+    def test_matches_python_reference(self, spark):
+        def chunks(text):
+            ws = text.lower().split(" ")
+            return [" ".join(ws[i : i + 2]) for i in range(0, len(ws) - 1, 2)]
+
+        docs = _docs()
+        df = Counter()
+        for doc_id, text, _ in docs:
+            for c in set(chunks(text)):
+                df[c] += 1
+        ranked = sorted(df, key=lambda c: (-df[c], c))
+        boiler = set(ranked[: len(ranked) // 10])
+        rows = []
+        for doc_id, text, _ in docs:
+            ch = chunks(text)
+            if not ch:
+                continue
+            nb = sum(1 for c in ch if c in boiler)
+            rows.append(
+                (doc_id, len(ch), nb, ((len(ch) - nb) * 1_000_000) // len(ch))
+            )
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        assert _run(spark, "boilerplate_chunks") == rows[:20]
+
+
+class TestSourceCappedSample:
+    def test_matches_python_reference(self, spark):
+        per = {}
+        for doc_id, text, source in _docs():
+            per.setdefault(source, []).append((-len(text.split(" ")), doc_id))
+        want = []
+        for source in sorted(per):
+            docs = sorted(per[source])
+            kept = docs[:10]
+            want.append(
+                (source, len(docs), len(kept),
+                 sum(-n for n, _ in kept), sum(d for _, d in kept))
+            )
+        assert _run(spark, "source_capped_sample") == want
+
+
 class TestEntityResolution:
     def test_matches_python_reference(self, spark):
         cust = pq.read_table(f"{SF}/customer.parquet").to_pylist()
