@@ -3845,6 +3845,91 @@ _SQL_QUERIES["source_capped_sample"] = _source_cap_sql("duck")
 _SPARK_DIALECT["source_capped_sample"] = _source_cap_sql("spark")
 
 
+# DSIR-style importance weighting (Xie et al. 2023): score raw docs by
+# how target-like their hashed-feature distribution is — here bigram
+# features against the same deterministic target slice decontamination
+# uses (doc_id % 37 = 3).  Per-bigram log-ratio of add-one-smoothed
+# target vs raw probabilities, quantized per TYPE at 1e4, then per-doc
+# integer mean over gram instances.  At scale: two partial-agg count
+# tables keyed by gram, the scored type table joins back into the raw
+# gram stream (same co-partitioned shape as bigram_lm_surprisal).
+def _dsir_sql(dialect: str) -> str:
+    return f"""
+WITH bg AS (SELECT doc_id, gram FROM ({_grams(2, dialect)}) g),
+tgt AS (SELECT gram, count(*) AS c FROM bg WHERE doc_id % 37 = 3 GROUP BY gram),
+raw AS (SELECT gram, count(*) AS c FROM bg WHERE doc_id % 37 != 3 GROUP BY gram),
+nt AS (SELECT count(*) AS n FROM bg WHERE doc_id % 37 = 3),
+nr AS (SELECT count(*) AS n FROM bg WHERE doc_id % 37 != 3),
+nv AS (SELECT count(DISTINCT gram) AS v FROM bg),
+w AS (
+  SELECT r.gram,
+         CAST(round(ln(
+             ((coalesce(t.c, 0) + 1) * 1.0 / ((SELECT n FROM nt) + (SELECT v FROM nv)))
+             / ((r.c + 1) * 1.0 / ((SELECT n FROM nr) + (SELECT v FROM nv)))
+           ) * 10000, 0) AS BIGINT) AS s
+  FROM raw r LEFT JOIN tgt t ON t.gram = r.gram
+),
+doc AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(w.s) AS s_sum
+  FROM bg b JOIN w ON w.gram = b.gram
+  WHERE b.doc_id % 37 != 3
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(round(s_sum * 1.0 / n_grams, 0) AS BIGINT) AS importance_tenthmilli
+FROM doc ORDER BY importance_tenthmilli DESC, doc_id LIMIT 20
+"""
+
+
+# NOTE the final mean is round(sum/n) on the DOUBLE quotient, not an
+# integral division: importance sums can be NEGATIVE, and DuckDB's //
+# floors while Spark's div truncates toward zero — they disagree below
+# zero.  The double quotient of two exact int64s is IEEE-identical in
+# both engines and round() is half-away-from-zero in both.
+_SQL_QUERIES["dsir_importance_weights"] = _dsir_sql("duck")
+_SPARK_DIALECT["dsir_importance_weights"] = _dsir_sql("spark")
+
+
+# Per-source distribution drift: KL(source unigram dist || corpus
+# unigram dist) in integer tenth-milli-nats — the data-card companion
+# that tells a corpus assembler WHICH source is skewing the mix.
+# Exactness: each term's log-ratio argument is a ratio of exact int64
+# products ((c_s * n) / (n_s * c), exact as doubles below 2^53),
+# quantized per (source, tok) TYPE at 1e4, multiplied by the integer
+# count c_s and summed — the mean divides once at the end.  At scale:
+# token counts are partial-agg shuffles; the per-source state is
+# (sources x vocab)-sized, far below the corpus.
+def _source_kl_sql(dialect: str) -> str:
+    tok = (
+        "unnest(string_split(lower(text), ' '))"
+        if dialect == "duck"
+        else "explode(split(lower(text), ' '))"
+    )
+    return f"""
+WITH toks AS (SELECT source, {tok} AS tok FROM documents),
+cs AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+ns AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+ct AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+nt AS (SELECT count(*) AS n FROM toks),
+terms AS (
+  SELECT cs.source,
+         cs.c * CAST(round(ln((cs.c * (SELECT n FROM nt)) * 1.0
+                              / (ns.n * ct.c)) * 10000, 0) AS BIGINT) AS t
+  FROM cs JOIN ns ON ns.source = cs.source
+          JOIN ct ON ct.tok = cs.tok
+)
+SELECT t.source, CAST(ns.n AS BIGINT) AS n_toks,
+       CAST(round(sum(t.t) * 1.0 / ns.n, 0) AS BIGINT) AS kl_tenthmilli
+FROM terms t JOIN ns ON ns.source = t.source
+GROUP BY t.source, ns.n
+ORDER BY t.source
+"""
+
+
+_SQL_QUERIES["source_unigram_kl"] = _source_kl_sql("duck")
+_SPARK_DIALECT["source_unigram_kl"] = _source_kl_sql("spark")
+
+
 # The driver's correctness gate checks ONLY the first 50 entries of the
 # dict returned by queries() (observed in CORRECTNESS_r03.json: exactly
 # registration positions 1-50 got rows).  _GATE_WINDOW pins the 50

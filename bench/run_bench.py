@@ -129,11 +129,13 @@ def main() -> None:
     lines += [
         "",
         "The hardware-ceiling column is a Spark-free multiprocessing parse",
-        "loop: on a single 32-core box, 8->32 cores saturate shared memory",
-        "bandwidth (ceiling ~0.78), which no framework can exceed. The",
-        "2->8 pair runs below saturation and is the faithful stand-in for",
-        "N->4N *executors* (a real cluster multiplies memory bandwidth",
-        "with executor count). North rule target: >= 0.8.",
+        "loop run at the same pinned core budgets IN THE SAME SESSION (the",
+        "probe is re-measured every run because hypervisor steal moves it):",
+        "on a single 32-core box the 8->32 pair contends for shared memory",
+        "bandwidth, which no framework can exceed. The 2->8 pair runs",
+        "below saturation and is the faithful stand-in for N->4N",
+        "*executors* (a real cluster multiplies memory bandwidth with",
+        "executor count). North rule target: >= 0.8.",
         "",
         "```json",
         json.dumps({"levels": results, "ceilings": {str(k): round(v, 1) for k, v in ceilings.items()}, "pairs": pairs}, indent=2),

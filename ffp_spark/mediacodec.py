@@ -965,6 +965,7 @@ def jpeg_encode_progressive(
     rgb: np.ndarray,
     quant: int = 2,
     subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Real progressive JPEG writer (SOF2): the classic spectral-
     selection + successive-approximation scan script (DC first at Al=1
@@ -1033,11 +1034,33 @@ def jpeg_encode_progressive(
         chh = -(-(h * cvi) // vs)
         return -(-chh // 8), -(-cw // 8)
 
+    class _Restarter:
+        """Per-scan restart state: byte-align and emit RSTn every
+        ``restart_interval`` units (MCUs for DC scans, blocks for the
+        non-interleaved AC scans), resetting the DC predictors —
+        mirrors the baseline encoder's convention (T.81 B.2.1.2)."""
+
+        def __init__(self, wtr: "_JBitWriter", pred: list[int]) -> None:
+            self.wtr = wtr
+            self.pred = pred
+            self.unit = 0
+            self.rst = 0
+
+        def tick(self) -> None:
+            if restart_interval and self.unit and self.unit % restart_interval == 0:
+                self.wtr.align()
+                self.wtr.out += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.pred[:] = [0] * len(self.pred)
+            self.unit += 1
+
     def dc_scan(al: int, refine: bool) -> bytes:
         wtr = _JBitWriter()
         pred = [0, 0, 0]
+        rster = _Restarter(wtr, pred)
         for my in range(mcuy):
             for mx in range(mcux):
+                rster.tick()
                 for ci in range(3):
                     chi, cvi = samps[ci]
                     for by in range(cvi):
@@ -1059,8 +1082,10 @@ def jpeg_encode_progressive(
     def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
         wtr = _JBitWriter()
         nby, nbx = scan_blocks(ci)
+        rster = _Restarter(wtr, [])
         for by in range(nby):
             for bx in range(nbx):
+                rster.tick()
                 zz = grids[ci][by, bx]
                 r = 0
                 for k in range(ss, se + 1):
@@ -1087,8 +1112,10 @@ def jpeg_encode_progressive(
     def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
         wtr = _JBitWriter()
         nby, nbx = scan_blocks(ci)
+        rster = _Restarter(wtr, [])
         for by in range(nby):
             for bx in range(nbx):
+                rster.tick()
                 zz = grids[ci][by, bx]
                 absv = [abs(int(zz[k])) >> al for k in range(64)]
                 eob = ss - 1
@@ -1145,6 +1172,8 @@ def jpeg_encode_progressive(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + qtab.astype(np.uint8).tobytes())
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
     sof += bytes([1, (hs << 4) | vs, 0])
     sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])

@@ -403,6 +403,24 @@ class TestProgressiveJpeg:
         _, _, out = mc.jpeg_decode(mc.jpeg_encode_progressive(flat, quant=2))
         assert np.array_equal(out, flat)
 
+    def test_progressive_with_restart_intervals(self):
+        # DRI restarts inside progressive scans: predictors and EOB
+        # runs reset at every RSTn in both encoder and decoder
+        import numpy as np
+        from ffp_spark import mediacodec as mc
+
+        rng = np.random.RandomState(3)
+        for (h, w), sub, ri in [((33, 41), "444", 2), ((30, 44), "420", 3),
+                                ((24, 32), "444", 1)]:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            _, _, base = mc.jpeg_decode(mc.jpeg_encode(img, quant=3, subsample=sub))
+            _, _, prog = mc.jpeg_decode(
+                mc.jpeg_encode_progressive(
+                    img, quant=3, subsample=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, prog), (h, w, sub, ri)
+
     def test_progressive_truncated_raises_cleanly(self):
         import pytest
         from ffp_spark import mediacodec as mc

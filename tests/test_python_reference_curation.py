@@ -233,6 +233,71 @@ class TestSourceCappedSample:
         assert _run(spark, "source_capped_sample") == want
 
 
+def _half_away(x: float) -> int:
+    # SQL round(): half away from zero (Python round() is banker's)
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+class TestDsirImportance:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        def bigrams(text):
+            ws = text.lower().split(" ")
+            return [" ".join(p) for p in zip(ws, ws[1:])]
+
+        docs = _docs()
+        ct, cr = Counter(), Counter()
+        vocab = set()
+        for doc_id, text, _ in docs:
+            bgs = bigrams(text)
+            vocab.update(bgs)
+            (ct if doc_id % 37 == 3 else cr).update(bgs)
+        nt, nr, nv = sum(ct.values()), sum(cr.values()), len(vocab)
+        s = {
+            g: _half_away(
+                math.log(((ct[g] + 1) / (nt + nv)) / ((c + 1) / (nr + nv))) * 10_000
+            )
+            for g, c in cr.items()
+        }
+        rows = []
+        for doc_id, text, _ in docs:
+            if doc_id % 37 == 3:
+                continue
+            bgs = bigrams(text)
+            if not bgs:
+                continue
+            ssum = sum(s[g] for g in bgs)
+            rows.append((doc_id, len(bgs), _half_away(ssum / len(bgs))))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        assert _run(spark, "dsir_importance_weights") == rows[:20]
+
+
+class TestSourceUnigramKl:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        docs = _docs()
+        cs, ns, ctok = Counter(), Counter(), Counter()
+        for _, text, source in docs:
+            for tok in text.lower().split(" "):
+                cs[(source, tok)] += 1
+                ns[source] += 1
+                ctok[tok] += 1
+        n = sum(ns.values())
+        want = []
+        for source in sorted(ns):
+            terms = sum(
+                c * _half_away(math.log((c * n) / (ns[source] * ctok[tok])) * 10_000)
+                for (src, tok), c in cs.items()
+                if src == source
+            )
+            want.append((source, ns[source], _half_away(terms / ns[source])))
+        assert _run(spark, "source_unigram_kl") == want
+
+
 class TestEntityResolution:
     def test_matches_python_reference(self, spark):
         cust = pq.read_table(f"{SF}/customer.parquet").to_pylist()
