@@ -3453,6 +3453,134 @@ ORDER BY window_start_ms
 """
 
 
+_SDD_COUNTER = [0]
+
+
+def _q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 STATEFUL-DEDUP value oracle: pins BOTH semantics of
+    ``dropDuplicatesWithinWatermark`` that matter on an unbounded crawl —
+    a re-crawl INSIDE the watermark horizon is suppressed, a re-crawl
+    AFTER the horizon passes re-enters the corpus (state genuinely
+    evicted, not grown forever).
+
+    Five parquet files with explicitly ordered mtimes drain one per
+    micro-batch (availableNow + maxFilesPerTrigger=1; the file source
+    orders by modification time):
+
+      b0  the full corpus (warc_ts = epoch + doc_id sec)     -> all KEPT
+      b1  re-crawls of doc_id%3==0 at +1h (inside 2h horizon) -> all DROPPED
+      b2  5 watermark-advancing fillers at epoch+10h          -> all KEPT
+      b3  5 more fillers at epoch+10h+30s                     -> all KEPT
+      b4  re-crawls of doc_id%7==0 at epoch+10h+60s+doc_id    -> all KEPT
+
+    Two filler batches, not one, because state eviction lags the
+    watermark by one micro-batch: batch k runs with the watermark
+    derived from batch k-1's max event time, the dedup lookup drops any
+    key still IN the store (it does not re-check expiry), and expired
+    keys are only removed at end-of-batch. So b2 raises the event-time
+    high mark to 10h, b3 is the first batch that RUNS with watermark
+    8h (past every b0 first-occurrence + 2h) and evicts the b0 state
+    at its close, and b4's re-crawls then find no state and re-enter.
+    b4's event times sit above the watermark so they are not late.
+
+    The drained per-class counts replay in DuckDB as pure arithmetic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ffp_spark.docfeeds import documents_as_pages, load_documents
+    from ffp_spark.streaming import stream_dedup_pages, stream_pages
+
+    base = tempfile.mkdtemp(prefix="ffp_sdd_q_")
+    landing = f"{base}/landing"
+    os.makedirs(landing)
+    pages = documents_as_pages(load_documents(spark, sf_dir)).withColumn(
+        "doc_id", F.regexp_extract("url", r"feed-(\d+)\.xml", 1).cast("long")
+    )
+    # the re-admission arithmetic needs every b0 first-occurrence + 2h
+    # to sit below the post-b2 watermark (epoch+8h): corpus event-time
+    # span must stay under 6h (ADVICE r4's span rule, asserted not assumed)
+    span = pages.agg(F.max("doc_id")).collect()[0][0]
+    if span is None or span >= 6 * 3600:
+        raise AssertionError(f"corpus span {span}s breaks the eviction arithmetic")
+    hour = 3600
+    b0 = pages.drop("doc_id")
+    b1 = (
+        pages.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {hour} SECOND"))
+        .drop("doc_id")
+    )
+    epoch10h = "TIMESTAMP '2025-01-01 10:00:00'"
+    fillers = pages.filter(F.col("doc_id") < 10).withColumn(
+        "url", F.concat(F.lit("filler://"), F.col("doc_id"))
+    )
+    b2 = (
+        fillers.filter(F.col("doc_id") < 5)
+        .withColumn("warc_ts", F.expr(epoch10h))
+        .drop("doc_id")
+    )
+    b3 = (
+        fillers.filter(F.col("doc_id") >= 5)
+        .withColumn("warc_ts", F.expr(epoch10h) + F.expr("INTERVAL 30 SECOND"))
+        .drop("doc_id")
+    )
+    b4 = (
+        pages.filter(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "warc_ts",
+            F.expr(epoch10h) + F.expr("INTERVAL 60 SECOND")
+            + (F.col("doc_id") * F.expr("INTERVAL 1 SECOND")),
+        )
+        .drop("doc_id")
+    )
+    for k, df in enumerate((b0, b1, b2, b3, b4)):
+        stage = f"{base}/st{k}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{landing}/b{k}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    deduped = stream_dedup_pages(
+        stream_pages(spark, landing, max_files_per_trigger=1), watermark="2 hours"
+    )
+    _SDD_COUNTER[0] += 1
+    sink = f"sdd_sink_{_SDD_COUNTER[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.when(F.col("url").startswith("filler://"), F.lit("filler"))
+            .when(
+                F.col("warc_ts") >= F.expr(epoch10h), F.lit("recrawl")
+            )
+            .otherwise(F.lit("original"))
+            .alias("cls")
+        )
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("cls")
+    )
+
+
+_ORACLE_ONLY["stream_dedup_counts"] = """
+SELECT cls, n_kept FROM (
+  SELECT 'filler' AS cls, CAST(10 AS BIGINT) AS n_kept
+  UNION ALL
+  SELECT 'original', count(*) FROM documents
+  UNION ALL
+  SELECT 'recrawl', count(*) FROM documents WHERE doc_id % 7 = 0
+) t ORDER BY cls
+"""
+
+
 # Mergeable quantile summary: fixed-width integer histograms per
 # event type, MERGED by bin-count addition into the ALL row (like the
 # HLL register-max merge, this is the associativity that distributes —
@@ -4054,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["shard_export_manifest"] = _q_shard_export_manifest
     all_q["bpe_merge_table"] = _q_bpe_merge_table
     all_q["bpe_token_counts_learned"] = _q_bpe_token_counts_learned
+    all_q["stream_dedup_counts"] = _q_stream_dedup_counts
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
