@@ -2031,7 +2031,10 @@ def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(rounds: int = 3) -> str:
+def _lpa_cte_body(rounds: int = 3) -> str:
+    """CTE chain (e0 .. l{rounds}) replaying label propagation on the
+    part co-order graph — shared by the community-size oracle and the
+    modularity oracle, which appends the integer moments on top."""
     ctes = ["""e0 AS MATERIALIZED (
   WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
   SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -2057,8 +2060,12 @@ l{r + 1} AS MATERIALIZED (
     FROM c{r}
   ) t WHERE rn = 1
 )""")
+    return ",\n".join(ctes)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _lpa_cte_body(rounds)
         + f"""
 SELECT label AS community, count(*) AS size
 FROM l{rounds}
@@ -2070,6 +2077,237 @@ LIMIT 20
 
 
 _ORACLE_ONLY["graph_label_propagation"] = _lpa_oracle()
+
+
+def _q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction (graph.
+    link_prediction) on the part co-order graph: the 20 strongest
+    predicted MISSING edges — the KG-completion primitive. aa_score_q
+    sums round(1e4/ln(d_w)) per common neighbor as exact BIGINTs
+    (type-level quantization: applied once per distinct degree), so
+    ranking and values replay cross-engine; the total (cn desc,
+    aa desc, u, v) order makes the top-20 deterministic."""
+    from ffp_spark.graph import link_prediction
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    return link_prediction(edges, top_k=20)
+
+
+_ORACLE_ONLY["graph_link_prediction"] = """
+WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+adj AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT w, count(*) AS d FROM (SELECT v AS w FROM adj) GROUP BY w),
+wq AS (SELECT w, CAST(round(10000.0 / ln(d)) AS BIGINT) AS q
+       FROM deg WHERE d >= 2),
+cent AS (SELECT adj.w, adj.v, wq.q FROM adj JOIN wq USING (w)),
+cand AS (
+  SELECT l.v AS u, r.v AS v,
+         count(*) AS common_neighbors,
+         CAST(sum(l.q) AS BIGINT) AS aa_score_q
+  FROM cent l JOIN cent r ON l.w = r.w AND l.v < r.v
+  GROUP BY l.v, r.v
+)
+SELECT u, v, common_neighbors, aa_score_q
+FROM cand c
+ANTI JOIN und e ON c.u = e.a AND c.v = e.b
+ORDER BY common_neighbors DESC, aa_score_q DESC, u, v
+LIMIT 20
+"""
+
+
+def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA partition (graph.
+    modularity over graph.label_propagation): the quality metric that
+    closes the community-detection loop. q_num = 4*m*intra -
+    sum_c(D_c^2) is pure BIGINT (the assortativity integer-moment
+    trick); the DuckDB oracle unrolls the SAME LPA rounds then
+    recomputes the moments, so everything up to the single final
+    division is engine-exact."""
+    from ffp_spark.graph import label_propagation, modularity
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """).localCheckpoint(eager=True)
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
+
+
+def _modularity_oracle(rounds: int = 3) -> str:
+    return (
+        "WITH " + _lpa_cte_body(rounds)
+        + f""",
+tag AS MATERIALIZED (
+  SELECT la.label AS ca, lb.label AS cb
+  FROM e0
+  JOIN l{rounds} la ON la.node = e0.a
+  JOIN l{rounds} lb ON lb.node = e0.b
+),
+tot AS (SELECT count(*) AS m, count(*) FILTER (ca = cb) AS intra FROM tag),
+dsum AS (
+  SELECT c, count(*) AS dc
+  FROM (SELECT ca AS c FROM tag UNION ALL SELECT cb FROM tag)
+  GROUP BY c
+),
+mom AS (
+  SELECT count(*) AS n_communities, CAST(sum(dc * dc) AS BIGINT) AS sum_dc2
+  FROM dsum
+)
+SELECT n_communities,
+       m AS m_edges,
+       intra AS intra_edges,
+       CAST(4 * m * intra - sum_dc2 AS BIGINT) AS q_num,
+       CAST(round((4.0 * m * intra - sum_dc2) / (4.0 * m * m), 6) AS DOUBLE)
+         AS modularity
+FROM mom, tot
+"""
+    )
+
+
+_ORACLE_ONLY["graph_modularity"] = _modularity_oracle()
+
+
+def _q_graph_neighborhood_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop neighborhood estimation (graph.neighborhood_hll)
+    on the part co-order graph: per-node HLL registers merged along
+    edges for 2 rounds — V*64 integer rows of state instead of the
+    quadratic exact ball.  The EXACT 2-hop size ships beside the
+    estimate (computable at eval scale; the column you drop at 100 TB),
+    so the sketch's error is an oracled value, not a claim — same
+    contract shape as hll_distinct_events/ann_recall_eval.  Registers
+    are bit-reproducible (md5-prefix hashing), the estimate is one
+    double division on identical integer trees; top-20 by the integer
+    exact count, ties by node."""
+    from ffp_spark.graph import neighborhood_hll
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """).localCheckpoint(eager=True)
+    est = neighborhood_hll(edges, radius=2)
+    adj = edges.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionByName(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    p0 = adj.select("v", F.col("v").alias("w")).distinct()
+    p1 = adj.select("v", F.col("u").alias("w"))
+    p2 = adj.join(
+        adj.select(F.col("v").alias("u"), F.col("u").alias("w")), "u"
+    ).select("v", "w")
+    exact = (
+        p0.unionByName(p1).unionByName(p2)
+        .distinct()
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count("*").alias("n_exact_2hop"))
+    )
+    return (
+        est.join(exact, "node")
+        .select("node", "n_exact_2hop", "hll_est", "nonzero_registers")
+        .orderBy(F.desc("n_exact_2hop"), "node")
+        .limit(20)
+    )
+
+
+def _neighborhood_hll_oracle() -> str:
+    ladder = "CASE " + " ".join(
+        f"WHEN (h // 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    ctes = [f"""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+),
+hv AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT v AS node FROM adj)
+),
+b0 AS MATERIALIZED (
+  SELECT node, CAST(h % 64 AS BIGINT) AS bucket,
+         CAST(CASE WHEN (h // 64) = 0 THEN 55
+                   ELSE 55 - ({ladder}) END AS BIGINT) AS rho
+  FROM hv
+)"""]
+    for r in range(2):
+        ctes.append(f"""b{r + 1} AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT adj.v AS node, b{r}.bucket, b{r}.rho
+    FROM adj JOIN b{r} ON b{r}.node = adj.u
+    UNION ALL
+    SELECT node, bucket, rho FROM b{r}
+  ) t GROUP BY node, bucket
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+sums AS (
+  SELECT node,
+         CAST(sum(CAST(pow(2, 55 - rho) AS BIGINT)) AS BIGINT) AS s_present,
+         count(*) AS nz
+  FROM b2 GROUP BY node
+),
+raws AS (
+  SELECT node, nz,
+         CAST({0.709 * 64 * 64} AS DOUBLE) * CAST({1 << 55} AS DOUBLE)
+           / CAST(s_present + (64 - nz) * {1 << 55} AS DOUBLE) AS raw
+  FROM sums
+),
+est AS (
+  SELECT node,
+         CAST(round(CASE WHEN nz < 64 AND raw <= {2.5 * 64}
+                         THEN CAST(64 AS DOUBLE)
+                              * ln(CAST(64 AS DOUBLE) / CAST(64 - nz AS DOUBLE))
+                         ELSE raw END, 2) AS DOUBLE) AS hll_est,
+         nz AS nonzero_registers
+  FROM raws
+),
+ball AS (
+  SELECT DISTINCT v, w FROM (
+    SELECT v, v AS w FROM adj
+    UNION ALL SELECT v, u FROM adj
+    UNION ALL SELECT a1.v, a2.u AS w FROM adj a1 JOIN adj a2 ON a2.v = a1.u
+  ) t
+),
+exact AS (SELECT v AS node, count(*) AS n_exact_2hop FROM ball GROUP BY v)
+SELECT node, n_exact_2hop, hll_est, nonzero_registers
+FROM est JOIN exact USING (node)
+ORDER BY n_exact_2hop DESC, node
+LIMIT 20
+"""
+    )
+
+
+_ORACLE_ONLY["graph_neighborhood_hll"] = _neighborhood_hll_oracle()
 
 
 # Degree assortativity (Newman) of the part co-order graph.  With
@@ -2159,6 +2397,98 @@ ORDER BY size DESC, component_id
 
 
 _ORACLE_ONLY["link_cc_components"] = _link_cc_oracle()
+
+
+def _q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER near-dup detection: each MinHash-LSH duplicate
+    CLUSTER (connected components over the already-oracled candidate
+    pairs) keeps ONE canonical document — longest text, ties by
+    smallest id — and discards the rest; the deterministic rule every
+    production dedup pipeline needs so reruns keep the same docs.
+    Output: per cluster (size >= 2) its representative, size, the
+    kept doc and its length, and how many were discarded.
+
+    Scale shape: pure composition of value-oracled stages (signatures
+    -> banded pairs -> alternating-star CC), then one join of the
+    cluster table (couple of rows per duplicate group) back to doc
+    lengths and a per-cluster top-1 window over bounded groups."""
+    from ffp_spark.cc import connected_components
+    from ffp_spark.linking import candidate_pairs, with_signatures
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("mention_id"),
+        F.lower(F.col("text")).alias("norm"),
+    )
+    signed = with_signatures(m, mode="word").cache()
+    pairs = candidate_pairs(signed, min_jaccard=0.3).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(pairs).withColumnRenamed("node_id", "node")
+    lens = docs.select(
+        F.col("doc_id").cast("string").alias("node"),
+        F.length("text").alias("text_len"),
+    )
+    pick = Window.partitionBy("component_id").orderBy(
+        F.desc("text_len"), F.asc("node")
+    )
+    out = (
+        comp.join(lens, "node")
+        .withColumn("rn", F.row_number().over(pick))
+        .withColumn(
+            "size", F.count("*").over(Window.partitionBy("component_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            "size",
+            F.col("node").alias("canonical_id"),
+            F.col("text_len").alias("canonical_len"),
+            (F.col("size") - 1).alias("n_discarded"),
+        )
+        .orderBy(F.desc("size"), "component_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    signed.unpersist()
+    return out
+
+
+def _neardup_canonical_oracle(min_jaccard: float = 0.3) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_body(min_jaccard)},
+ed AS (SELECT a, b FROM scored WHERE score >= {min_jaccard}),
+und AS (SELECT a AS s, b AS d FROM ed UNION SELECT b, a FROM ed),
+reach(n, m) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT r.n, u.d FROM reach r JOIN und u ON u.s = r.m
+),
+comp AS (SELECT n AS node, min(m) AS component_id FROM reach GROUP BY n),
+lens AS (
+  SELECT CAST(doc_id AS VARCHAR) AS node, length(text) AS text_len
+  FROM documents
+),
+ranked AS (
+  SELECT comp.component_id, comp.node, lens.text_len,
+         row_number() OVER (
+           PARTITION BY comp.component_id
+           ORDER BY lens.text_len DESC, comp.node
+         ) AS rn,
+         count(*) OVER (PARTITION BY comp.component_id) AS size
+  FROM comp JOIN lens USING (node)
+)
+SELECT component_id, size, node AS canonical_id,
+       CAST(text_len AS INT) AS canonical_len,
+       size - 1 AS n_discarded
+FROM ranked WHERE rn = 1
+ORDER BY size DESC, component_id
+LIMIT 20
+"""
+
+
+_ORACLE_ONLY["neardup_canonical"] = _neardup_canonical_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -4183,6 +4513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["bpe_merge_table"] = _q_bpe_merge_table
     all_q["bpe_token_counts_learned"] = _q_bpe_token_counts_learned
     all_q["stream_dedup_counts"] = _q_stream_dedup_counts
+    all_q["graph_link_prediction"] = _q_graph_link_prediction
+    all_q["graph_modularity"] = _q_graph_modularity
+    all_q["neardup_canonical"] = _q_neardup_canonical
+    all_q["graph_neighborhood_hll"] = _q_graph_neighborhood_hll
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -133,6 +133,8 @@ def main() -> None:
         "bpe_merge_table",
         "bigram_lm_surprisal",
         "boilerplate_chunks",
+        "graph_link_prediction",
+        "neardup_canonical",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

@@ -642,3 +642,260 @@ def sssp(
         )
     e.unpersist()
     return dist
+
+
+AA_SCALE = 10**4  # Adamic-Adar weight unit: round(1e4/ln(d)) per DEGREE
+# TYPE, summed as exact integers — the same type-level quantization
+# that keeps bigram_lm_surprisal / dsir cross-engine exact (a 1-ulp
+# libm delta in ln() could only flip a value landing exactly on a
+# .5 grid boundary, and it is applied once per distinct degree, not
+# once per pair)
+
+
+def link_prediction(
+    edges: DataFrame,
+    top_k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    max_common_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction over an
+    undirected graph: (u, v, common_neighbors, aa_score_q) for the
+    top_k NON-edges ranked by (common_neighbors desc, aa_score_q desc,
+    u, v) — the classic KG-completion primitive (Liben-Nowell &
+    Kleinberg 2003): which missing edges does the neighborhood
+    structure most strongly predict?
+
+    aa_score_q = sum over common neighbors w of round(AA_SCALE /
+    ln(d_w)) as BIGINT — exact to replay cross-engine (d_w >= 2 for
+    every wedge center, so ln never hits 0).
+
+    Scale shape: candidate pairs come from ONE self-join of the
+    2E-sized adjacency on the wedge-center key (same family as
+    triangle counting — never nodes x nodes), reduced by a partial-
+    aggregated groupBy(u, v) BEFORE the existing-edge anti-join.
+    ``max_common_degree`` caps the degree of the wedge CENTER — on a
+    power-law web graph the hub rows explode quadratically while
+    contributing near-zero Adamic-Adar mass (1/ln(d) -> 0), so
+    dropping centers above the cap is both the standard skew defense
+    and a principled approximation; None keeps the operator exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)  # consumed by adj, deg and anti-join
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy(F.col("v").alias("w")).agg(F.count("*").alias("d"))
+    if max_common_degree is not None:
+        deg = deg.where(F.col("d") <= max_common_degree)
+    # quantize 1/ln(d) once per distinct degree value (type table);
+    # d >= 2 drops degree-1 nodes, which can never center a wedge but
+    # would hit ln(1) = 0 under ANSI division
+    wq = deg.where(F.col("d") >= 2).select(
+        "w", F.round(F.lit(AA_SCALE) / F.log(F.col("d"))).cast("long").alias("q")
+    )
+    centered = adj.select(F.col("w"), F.col("v")).join(wq, "w")
+    left = centered.select("w", F.col("v").alias("u"), "q")
+    right = centered.select("w", F.col("v").alias("v2"))
+    cand = (
+        left.join(right, "w")
+        .where(F.col("u") < F.col("v2"))
+        .groupBy(F.col("u"), F.col("v2").alias("v"))
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("q").alias("aa_score_q"),
+        )
+    )
+    non_edges = cand.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return non_edges.orderBy(
+        F.desc("common_neighbors"), F.desc("aa_score_q"), "u", "v"
+    ).limit(top_k)
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a node partition, in EXACT integer
+    arithmetic: Q = sum_c (e_c/m - (D_c/2m)^2) is computed as
+    q_num = 4*m*sum_c(e_c) - sum_c(D_c^2) over BIGINTs, with ONE
+    final rounded division by 4*m^2 — so both engines agree bit-for-
+    bit on every intermediate (the same integer-moment trick as
+    degree assortativity).  ``labels`` is (node, label).
+
+    Returns one row: (n_communities, m_edges, intra_edges, q_num,
+    modularity).  Exact while 4*m^2 < 2^63 (m < ~1.5e9 undirected
+    edges); past that, compute the two moments in DECIMAL(38,0) or
+    accept one double rounding — the moments themselves stay exact
+    far longer (D_c <= 2m).
+
+    Scale shape: two V-sized joins of labels into the edge list
+    (broadcast when labels fit, shuffle-hash otherwise — Catalyst's
+    call), then pure partial-aggregated sums; no iteration.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(F.col("node"), F.col("label"))
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
+    m = tagged.count()
+    intra = tagged.where(F.col("ca") == F.col("cb")).count()
+    # D_c = sum of degrees of nodes labeled c; degree from the SAME
+    # tagged edge list so dangling label rows cannot skew the moment
+    dsum = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionByName(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    moments = dsum.agg(
+        F.count("*").alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"),
+    )
+    return moments.select(
+        "n_communities",
+        F.lit(m).cast("long").alias("m_edges"),
+        F.lit(intra).cast("long").alias("intra_edges"),
+        (F.lit(4 * m * intra).cast("long") - F.col("sum_dc2")).alias("q_num"),
+        F.round(
+            (F.lit(4 * m * intra).cast("double") - F.col("sum_dc2"))
+            / F.lit(4.0 * m * m),
+            6,
+        ).alias("modularity"),
+    )
+
+
+HB_REGISTERS = 64  # HyperBall register count per node (m = 64, alpha = 0.709)
+
+
+def neighborhood_hll(
+    edges: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node r-hop neighborhood
+    sizes estimated by propagating HyperLogLog registers along edges —
+    (node, hll_est, nonzero_registers).  Exact r-hop counting
+    materializes the quadratic-in-the-hub-degree ball; HyperBall keeps
+    V x m integer registers and runs ``radius`` rounds of
+    merge-with-neighbors, which is why it is THE scale path for
+    neighborhood-function / effective-diameter work on web graphs.
+
+    Bit-reproducible like the corpus HLL sketch (same 60-bit md5
+    prefix, bucket = low 6 bits, rho = leading-zero rank of the
+    54-bit remainder via an integer CASE ladder): registers live as
+    EXPLODED (node, bucket, rho) rows, so the per-round merge is a
+    partial-aggregated groupBy(node, bucket).max(rho) — map-side
+    combining, whole-stage codegen, no higher-order-function
+    interpretation (a packed array<byte> register column would force
+    a non-partial aggregate).  State is V*m rows per round, E*m rows
+    shuffle per round; the adjacency is repartitioned on its join key
+    once and cached.  The estimate is the standard harmonic mean with
+    every term an exact BIGINT (2^(55-rho)) and ONE double division.
+    """
+    ladder = "CASE " + " ".join(
+        f"WHEN (h div 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .repartition("u")
+        .cache()
+    )
+    ball = (
+        adj.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(node AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ),
+        )
+        .select(
+            "node",
+            (F.col("h") % HB_REGISTERS).cast("long").alias("bucket"),
+            F.expr(
+                f"CAST(CASE WHEN (h div 64) = 0 THEN 55"
+                f" ELSE 55 - ({ladder}) END AS BIGINT)"
+            ).alias("rho"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(radius):
+        prop = adj.join(ball.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), "bucket", "rho"
+        )
+        ball = (
+            ball.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    m = HB_REGISTERS
+    raw = (
+        F.lit(0.709 * m * m).cast("double")
+        * F.lit(1 << 55).cast("double")
+        / (F.col("s_present") + (F.lit(m) - F.col("nz")) * F.lit(1 << 55)).cast(
+            "double"
+        )
+    )
+    # small-range (linear counting) correction, standard HLL: below
+    # 2.5*m the harmonic estimator saturates toward alpha*m (~45 here
+    # even for a 3-node ball), so count empty registers instead.  Both
+    # branches are one double expression over identical integers; the
+    # ln() carries the same documented 1-ulp libm caveat as
+    # lm_quality_score (a flip needs a value exactly on a .005 2dp
+    # boundary).  HyperBall lives in this regime — most balls are small.
+    lc = F.lit(float(m)).cast("double") * F.log(
+        F.lit(float(m)).cast("double") / (F.lit(m) - F.col("nz")).cast("double")
+    )
+    out = (
+        ball.groupBy("node")
+        .agg(
+            F.sum(F.expr("CAST(pow(2, 55 - rho) AS BIGINT)")).alias("s_present"),
+            F.count("*").alias("nz"),
+        )
+        .select(
+            "node",
+            F.round(
+                F.when((F.col("nz") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(
+                    raw
+                ),
+                2,
+            ).alias("hll_est"),
+            F.col("nz").cast("long").alias("nonzero_registers"),
+        )
+    )
+    return out

@@ -9,6 +9,7 @@ lineage-truncation shape of the iterative loop.
 from __future__ import annotations
 
 import itertools
+import math
 import random
 
 import pytest
@@ -477,3 +478,195 @@ def test_deterministic_walks_match_python_reference_and_handle_dead_ends(spark):
     assert got == {"a": ref_walk("a", 4), "d": ref_walk("d", 4)}
     # d's walk hits the dead end e after one hop and stays length 1
     assert got["d"] == "d>e"
+
+
+def _reference_link_prediction(pairs, top_k=20, scale=10**4):
+    """Pure-Python common-neighbors + Adamic-Adar over non-edges —
+    the exact contract of graph.link_prediction (half-away-from-zero
+    rounding per DISTINCT degree, like the engines' round())."""
+    import math
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    q = {
+        v: math.floor(scale / math.log(len(ns)) + 0.5)
+        for v, ns in nbrs.items()
+        if len(ns) >= 2
+    }
+    scores = {}
+    for w, ns in nbrs.items():
+        if w not in q:
+            continue
+        for u in ns:
+            for v in ns:
+                if u < v:
+                    cn, aa = scores.get((u, v), (0, 0))
+                    scores[(u, v)] = (cn + 1, aa + q[w])
+    rows = [
+        (u, v, cn, aa)
+        for (u, v), (cn, aa) in scores.items()
+        if (u, v) not in und
+    ]
+    rows.sort(key=lambda r: (-r[2], -r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_link_prediction_matches_python_reference(spark):
+    from ffp_spark.graph import link_prediction
+
+    rng = random.Random(47)
+    pairs = [(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(90)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    got = [tuple(r) for r in link_prediction(e, top_k=20).collect()]
+    assert got == _reference_link_prediction(pairs, top_k=20)
+    # partition-invariant
+    again = [tuple(r) for r in link_prediction(e.repartition(7), top_k=20).collect()]
+    assert again == got
+
+
+def test_link_prediction_predicts_the_missing_clique_edge(spark):
+    from ffp_spark.graph import link_prediction
+
+    # K4 on {1,2,3,4} minus edge (1,2), plus a pendant: the removed
+    # edge is the unique strongest prediction (2 common neighbors)
+    e = _edges(spark, [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)])
+    top = link_prediction(e, top_k=1).collect()[0]
+    assert (top.u, top.v, top.common_neighbors) == ("1", "2", 2)
+
+
+def test_link_prediction_degree_cap_drops_hub_centers(spark):
+    from ffp_spark.graph import link_prediction
+
+    # star center 0 with leaves 1..5: every leaf pair is predicted via
+    # the hub; capping the center degree below 5 empties the output
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    assert link_prediction(e, top_k=50).count() == 10
+    assert link_prediction(e, top_k=50, max_common_degree=4).count() == 0
+
+
+def _reference_modularity(pairs, labels):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    m = len(und)
+    intra = sum(1 for a, b in und if labels[a] == labels[b])
+    dsum = {}
+    for a, b in und:
+        dsum[labels[a]] = dsum.get(labels[a], 0) + 1
+        dsum[labels[b]] = dsum.get(labels[b], 0) + 1
+    q_num = 4 * m * intra - sum(d * d for d in dsum.values())
+    return m, intra, q_num, q_num / (4.0 * m * m)
+
+
+def test_modularity_matches_python_reference(spark):
+    from ffp_spark.graph import label_propagation, modularity
+
+    rng = random.Random(53)
+    pairs = [(rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(60)]
+    pairs += [(rng.randrange(100, 112), rng.randrange(100, 112)) for _ in range(60)]
+    pairs += [(5, 105)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    labels = label_propagation(e, rounds=3)
+    row = modularity(e, labels).collect()[0]
+    ref_labels = _reference_lpa(pairs, rounds=3)
+    m, intra, q_num, q = _reference_modularity(pairs, ref_labels)
+    assert (row.m_edges, row.intra_edges, row.q_num) == (m, intra, q_num)
+    assert row.modularity == math.floor(q * 10**6 + 0.5) / 10**6
+
+
+def test_modularity_known_values(spark):
+    from ffp_spark.graph import modularity
+
+    # two disjoint triangles, perfectly partitioned: Q = 1/2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    lab = spark.createDataFrame(
+        [(str(v), "A" if v <= 3 else "B") for v in range(1, 7)],
+        "node string, label string",
+    )
+    row = modularity(e, lab).collect()[0]
+    assert (row.n_communities, row.m_edges, row.intra_edges) == (2, 6, 6)
+    assert row.modularity == 0.5
+    # everything in ONE community: Q = 0 exactly
+    one = spark.createDataFrame(
+        [(str(v), "A") for v in range(1, 7)], "node string, label string"
+    )
+    assert modularity(e, one).collect()[0].modularity == 0.0
+
+
+def _reference_neighborhood_hll(pairs, radius=2):
+    """Pure-Python HyperBall with the exact register contract of
+    graph.neighborhood_hll (60-bit md5 prefix, m=64, rho ladder)."""
+    import hashlib
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    regs = {}
+    for v in nbrs:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rem = h // 64
+        rho = 55 if rem == 0 else 55 - rem.bit_length()
+        regs[v] = {h % 64: rho}
+    for _ in range(radius):
+        nxt = {}
+        for v in nbrs:
+            merged = dict(regs[v])
+            for u in nbrs[v]:
+                for b, r in regs[u].items():
+                    if r > merged.get(b, -1):
+                        merged[b] = r
+            nxt[v] = merged
+        regs = nxt
+    out = {}
+    for v, m in regs.items():
+        s = sum(1 << (55 - r) for r in m.values()) + (64 - len(m)) * (1 << 55)
+        est = 0.709 * 64 * 64 * float(1 << 55) / float(s)
+        if len(m) < 64 and est <= 2.5 * 64:  # linear-counting correction
+            est = 64.0 * math.log(64.0 / (64 - len(m)))
+        out[v] = (math.floor(est * 100 + 0.5) / 100, len(m))
+    return out
+
+
+def test_neighborhood_hll_matches_python_reference(spark):
+    from ffp_spark.graph import neighborhood_hll
+
+    rng = random.Random(61)
+    pairs = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(120)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    got = {
+        r.node: (r.hll_est, r.nonzero_registers)
+        for r in neighborhood_hll(e, radius=2).collect()
+    }
+    assert got == _reference_neighborhood_hll(pairs, radius=2)
+    again = {
+        r.node: (r.hll_est, r.nonzero_registers)
+        for r in neighborhood_hll(e.repartition(9), radius=2).collect()
+    }
+    assert again == got
+
+
+def test_neighborhood_hll_tracks_exact_ball_sizes(spark):
+    from ffp_spark.graph import neighborhood_hll
+
+    # path graph 0-1-2-...-9: the 2-hop ball of an interior node has
+    # exactly 5 members; HLL at m=64 on <=10 items is near-exact
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    got = {r.node: r.hll_est for r in neighborhood_hll(e, radius=2).collect()}
+    import hashlib
+
+    def exact_ball(v):
+        return len({w for w in range(10) if abs(w - v) <= 2})
+
+    for v in range(10):
+        exact = exact_ball(v)
+        # linear counting on n <= 5 of m = 64 registers is near-exact
+        assert abs(got[str(v)] - exact) / exact < 0.15, (v, got[str(v)], exact)

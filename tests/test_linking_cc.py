@@ -205,3 +205,34 @@ class TestClusteringMetric:
         ).select(F.col("norm").alias("item"), F.col("canonical_norm").alias("cluster"))
         res = clustering_pairwise_prf(predicted, golden)
         assert res["f1"] >= 0.6, res
+
+
+class TestNeardupCanonical:
+    def test_canonical_pick_is_longest_then_smallest_id(self, spark, tmp_path):
+        """The neardup_canonical query keeps exactly one doc per
+        duplicate cluster: longest text, ties by smallest id."""
+        import __spark_entry__ as em
+
+        filler = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            # cluster A: 3 near-identical docs, doc 21 one word longer
+            (20, filler + " alpha", "s1"),
+            (21, filler + " alpha beta", "s1"),
+            (22, filler + " alpha", "s1"),
+            # cluster B: identical pair, equal length -> smallest id 30
+            (30, "wholly different " + " ".join(f"b{i}" for i in range(25)), "s2"),
+            (31, "wholly different " + " ".join(f"b{i}" for i in range(25)), "s2"),
+            # singletons: never emitted
+            (40, " ".join(f"c{i}" for i in range(40)), "s3"),
+            (41, " ".join(f"d{i}" for i in range(40)), "s3"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = {
+            r.component_id: (r.size, r.canonical_id, r.n_discarded)
+            for r in em._q_neardup_canonical(spark, str(tmp_path)).collect()
+        }
+        assert got == {"20": (3, "21", 2), "30": (2, "30", 1)}
