@@ -15,10 +15,15 @@ xxhash64 (no driver-side data, no wall clock / unseeded randomness):
 * kcore_edges: 2M-edge graph, k=10, 6 peeling rounds.
 * label_propagation: 2M-edge graph, 3 rounds.
 
-Usage:  python bench/graph_stress.py [n_edges_pr] [n_edges_tri] [cpus]
-Prints one JSON line with walls and result fingerprints.  Pin with
-taskset -c 0-(cpus-1) for scaling claims (local[N] caps task slots,
-not CPU).
+Round-5 additions (section "r5"): neighborhood_hll (HyperBall — the
+register explosion is the stress: E_directed x 64 rows shuffle per
+round), link_prediction with the hub-degree cap (wedge fan-out under
+skew), modularity over the LPA labels.
+
+Usage:  python bench/graph_stress.py [n_edges_pr] [n_edges_tri] [cpus] [section]
+section: all (default) | base | r5.  Prints one JSON line with walls
+and result fingerprints.  Pin with taskset -c 0-(cpus-1) for scaling
+claims (local[N] caps task slots, not CPU).
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ def main() -> None:
     n_pr = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_tri = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    section = sys.argv[4] if len(sys.argv) > 4 else "all"
 
     from ffp_spark.graph import (
         bfs_depths,
@@ -66,6 +72,53 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"metric": "graph_stress", "unit": "sec", "cpus": cpus}
+
+    if section in ("all", "r5"):
+        from ffp_spark.graph import (
+            label_propagation as _lpa_r5,
+            link_prediction,
+            modularity,
+            neighborhood_hll,
+        )
+
+        e5 = make_edges(
+            spark, n_tri, n_nodes=100_000, hot_nodes=1_000, hot_pct=10
+        ).localCheckpoint(eager=True)
+
+        # HyperBall: the stress IS the register explosion — every round
+        # shuffles E_directed x 64 (node, bucket, rho) rows into a
+        # partial-aggregated max
+        t0 = time.perf_counter()
+        nh = neighborhood_hll(e5, radius=2)
+        agg = nh.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("hll_est") * 100).cast("long")).alias("est_q"),
+        ).collect()[0]
+        out["hyperball_sec"] = round(time.perf_counter() - t0, 2)
+        out["hyperball_nodes"] = int(agg["n"])
+        out["hyperball_est_fingerprint"] = int(agg["est_q"])
+
+        # link prediction with the hub cap (the configuration a skewed
+        # web graph runs): wedge fan-out bounded by cap^2 per center
+        t0 = time.perf_counter()
+        lp = link_prediction(e5, top_k=100, max_common_degree=128)
+        lp_rows = lp.collect()
+        out["linkpred_sec"] = round(time.perf_counter() - t0, 2)
+        out["linkpred_top_cn"] = int(lp_rows[0].common_neighbors)
+        out["linkpred_fingerprint"] = sum(
+            int(r.aa_score_q) for r in lp_rows
+        )
+
+        t0 = time.perf_counter()
+        mod = modularity(e5, _lpa_r5(e5, rounds=3)).collect()[0]
+        out["modularity_sec"] = round(time.perf_counter() - t0, 2)
+        out["modularity_q_num"] = int(mod.q_num)
+        out["modularity_communities"] = int(mod.n_communities)
+
+    if section == "r5":
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     e_pr = make_edges(spark, n_pr, n_nodes=1_000_000, hot_nodes=1_000, hot_pct=10)
     t0 = time.perf_counter()

@@ -806,14 +806,18 @@ def neighborhood_hll(
     Bit-reproducible like the corpus HLL sketch (same 60-bit md5
     prefix, bucket = low 6 bits, rho = leading-zero rank of the
     54-bit remainder via an integer CASE ladder): registers live as
-    EXPLODED (node, bucket, rho) rows, so the per-round merge is a
-    partial-aggregated groupBy(node, bucket).max(rho) — map-side
-    combining, whole-stage codegen, no higher-order-function
+    EXPLODED (node, pb) rows with bucket and rho PACKED into one
+    INT (pb = bucket*64 + rho — bucket in the high bits, so
+    max(pb) within a bucket IS the register max), and the per-round
+    merge is a partial-aggregated groupBy(node, pb div 64).max(pb) —
+    map-side combining, whole-stage codegen, no higher-order-function
     interpretation (a packed array<byte> register column would force
-    a non-partial aggregate).  State is V*m rows per round, E*m rows
-    shuffle per round; the adjacency is repartitioned on its join key
-    once and cached.  The estimate is the standard harmonic mean with
-    every term an exact BIGINT (2^(55-rho)) and ONE double division.
+    a non-partial aggregate; two separate LONG columns measured ~12
+    bytes/row heavier across the E*m-row shuffle).  State is V*m rows
+    per round, E*m rows shuffle per round; the adjacency is
+    repartitioned on its join key once and cached.  The estimate is
+    the standard harmonic mean with every term an exact BIGINT
+    (2^(55-rho)) and ONE double division.
     """
     ladder = "CASE " + " ".join(
         f"WHEN (h div 64) < {1 << k} THEN {k}" for k in range(1, 55)
@@ -844,22 +848,25 @@ def neighborhood_hll(
         )
         .select(
             "node",
-            (F.col("h") % HB_REGISTERS).cast("long").alias("bucket"),
-            F.expr(
-                f"CAST(CASE WHEN (h div 64) = 0 THEN 55"
-                f" ELSE 55 - ({ladder}) END AS BIGINT)"
-            ).alias("rho"),
+            (
+                (F.col("h") % HB_REGISTERS) * HB_REGISTERS
+                + F.expr(
+                    f"CAST(CASE WHEN (h div 64) = 0 THEN 55"
+                    f" ELSE 55 - ({ladder}) END AS BIGINT)"
+                )
+            ).cast("int").alias("pb"),
         )
         .localCheckpoint(eager=True)
     )
     for _ in range(radius):
         prop = adj.join(ball.withColumnRenamed("node", "u"), "u").select(
-            F.col("v").alias("node"), "bucket", "rho"
+            F.col("v").alias("node"), "pb"
         )
         ball = (
             ball.unionByName(prop)
-            .groupBy("node", "bucket")
-            .agg(F.max("rho").alias("rho"))
+            .groupBy("node", F.expr(f"pb div {HB_REGISTERS}").alias("bk"))
+            .agg(F.max("pb").alias("pb"))
+            .select("node", "pb")
             .localCheckpoint(eager=True)
         )
     adj.unpersist()
@@ -884,7 +891,9 @@ def neighborhood_hll(
     out = (
         ball.groupBy("node")
         .agg(
-            F.sum(F.expr("CAST(pow(2, 55 - rho) AS BIGINT)")).alias("s_present"),
+            F.sum(
+                F.expr(f"CAST(pow(2, 55 - (pb % {HB_REGISTERS})) AS BIGINT)")
+            ).alias("s_present"),
             F.count("*").alias("nz"),
         )
         .select(
