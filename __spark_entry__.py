@@ -2310,6 +2310,139 @@ LIMIT 20
 _ORACLE_ONLY["graph_neighborhood_hll"] = _neighborhood_hll_oracle()
 
 
+def _q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality via HyperBall (graph.harmonic_centrality)
+    on the part co-order graph — the centrality Boldi & Vigna built
+    HyperBall for, well-defined on disconnected web graphs.  hc_q is
+    the register-sketch estimate in 1/200ths (radius 2: lcm(1,2)*100),
+    an exact BIGINT telescoping sum of once-rounded per-radius ball
+    estimates; hc_exact_x2 = 2*HC from the exact balls ships beside it
+    (at radius 2 this collapses to degree + |B_2| - 1 — the column you
+    drop at 100 TB), so the sketch error stays an oracled value.
+    Top-20 by the exact value, ties by node."""
+    from ffp_spark.graph import harmonic_centrality
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """).localCheckpoint(eager=True)
+    est = harmonic_centrality(edges, radius=2)
+    adj = edges.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionByName(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    deg = adj.groupBy(F.col("v").alias("node")).agg(F.count("*").alias("d"))
+    p0 = adj.select("v", F.col("v").alias("w")).distinct()
+    p1 = adj.select("v", F.col("u").alias("w"))
+    p2 = adj.join(
+        adj.select(F.col("v").alias("u"), F.col("u").alias("w")), "u"
+    ).select("v", "w")
+    b2 = (
+        p0.unionByName(p1).unionByName(p2)
+        .distinct()
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count("*").alias("b2sz"))
+    )
+    return (
+        est.join(deg, "node")
+        .join(b2, "node")
+        .select(
+            "node",
+            (F.col("d") + F.col("b2sz") - F.lit(1)).alias("hc_exact_x2"),
+            "hc_q",
+        )
+        .orderBy(F.desc("hc_exact_x2"), "node")
+        .limit(20)
+    )
+
+
+def _harmonic_centrality_oracle() -> str:
+    ladder = "CASE " + " ".join(
+        f"WHEN (h // 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    ctes = [f"""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+),
+hv AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT v AS node FROM adj)
+),
+b0 AS MATERIALIZED (
+  SELECT node, CAST(h % 64 AS BIGINT) AS bucket,
+         CAST(CASE WHEN (h // 64) = 0 THEN 55
+                   ELSE 55 - ({ladder}) END AS BIGINT) AS rho
+  FROM hv
+)"""]
+    for r in range(2):
+        ctes.append(f"""b{r + 1} AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT adj.v AS node, b{r}.bucket, b{r}.rho
+    FROM adj JOIN b{r} ON b{r}.node = adj.u
+    UNION ALL
+    SELECT node, bucket, rho FROM b{r}
+  ) t GROUP BY node, bucket
+)""")
+    # one q CTE per radius: the same corrected estimate as the
+    # neighborhood oracle, rounded ONCE at 1e2 straight from the double
+    for r in range(3):
+        ctes.append(f"""q{r} AS (
+  SELECT node,
+         CAST(round(CASE WHEN nz < 64 AND raw <= {2.5 * 64}
+                         THEN CAST(64 AS DOUBLE)
+                              * ln(CAST(64 AS DOUBLE) / CAST(64 - nz AS DOUBLE))
+                         ELSE raw END * 100) AS BIGINT) AS q
+  FROM (
+    SELECT node, nz,
+           CAST({0.709 * 64 * 64} AS DOUBLE) * CAST({1 << 55} AS DOUBLE)
+             / CAST(s_present + (64 - nz) * {1 << 55} AS DOUBLE) AS raw
+    FROM (
+      SELECT node,
+             CAST(sum(CAST(pow(2, 55 - rho) AS BIGINT)) AS BIGINT) AS s_present,
+             count(*) AS nz
+      FROM b{r} GROUP BY node
+    ) s
+  ) t
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """,
+hc AS (
+  SELECT q0.node, 2 * (q1.q - q0.q) + (q2.q - q1.q) AS hc_q
+  FROM q0 JOIN q1 ON q1.node = q0.node JOIN q2 ON q2.node = q0.node
+),
+deg AS (SELECT v AS node, count(*) AS d FROM adj GROUP BY v),
+ball AS (
+  SELECT DISTINCT v, w FROM (
+    SELECT v, v AS w FROM adj
+    UNION ALL SELECT v, u FROM adj
+    UNION ALL SELECT a1.v, a2.u AS w FROM adj a1 JOIN adj a2 ON a2.v = a1.u
+  ) t
+),
+ex AS (SELECT v AS node, count(*) AS b2sz FROM ball GROUP BY v)
+SELECT node, d + b2sz - 1 AS hc_exact_x2, hc_q
+FROM hc JOIN deg USING (node) JOIN ex USING (node)
+ORDER BY hc_exact_x2 DESC, node
+LIMIT 20
+"""
+    )
+
+
+_ORACLE_ONLY["graph_harmonic_centrality"] = _harmonic_centrality_oracle()
+
+
 # Degree assortativity (Newman) of the part co-order graph.  With
 # integer edge-endpoint degrees j,k and M edges, r reduces to
 # (4*M*S1 - S2^2) / (2*M*S3 - S2^2) with S1=sum(jk), S2=sum(j+k),
@@ -4517,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_modularity"] = _q_graph_modularity
     all_q["neardup_canonical"] = _q_neardup_canonical
     all_q["graph_neighborhood_hll"] = _q_graph_neighborhood_hll
+    all_q["graph_harmonic_centrality"] = _q_graph_harmonic_centrality
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -789,36 +789,11 @@ def modularity(
 HB_REGISTERS = 64  # HyperBall register count per node (m = 64, alpha = 0.709)
 
 
-def neighborhood_hll(
-    edges: DataFrame,
-    radius: int = 2,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """HyperBall (Boldi & Vigna 2013): per-node r-hop neighborhood
-    sizes estimated by propagating HyperLogLog registers along edges —
-    (node, hll_est, nonzero_registers).  Exact r-hop counting
-    materializes the quadratic-in-the-hub-degree ball; HyperBall keeps
-    V x m integer registers and runs ``radius`` rounds of
-    merge-with-neighbors, which is why it is THE scale path for
-    neighborhood-function / effective-diameter work on web graphs.
-
-    Bit-reproducible like the corpus HLL sketch (same 60-bit md5
-    prefix, bucket = low 6 bits, rho = leading-zero rank of the
-    54-bit remainder via an integer CASE ladder): registers live as
-    EXPLODED (node, pb) rows with bucket and rho PACKED into one
-    INT (pb = bucket*64 + rho — bucket in the high bits, so
-    max(pb) within a bucket IS the register max), and the per-round
-    merge is a partial-aggregated groupBy(node, pb div 64).max(pb) —
-    map-side combining, whole-stage codegen, no higher-order-function
-    interpretation (a packed array<byte> register column would force
-    a non-partial aggregate; two separate LONG columns measured ~12
-    bytes/row heavier across the E*m-row shuffle).  State is V*m rows
-    per round, E*m rows shuffle per round; the adjacency is
-    repartitioned on its join key once and cached.  The estimate is
-    the standard harmonic mean with every term an exact BIGINT
-    (2^(55-rho)) and ONE double division.
-    """
+def _hb_init(edges: DataFrame, src: str, dst: str):
+    """Shared HyperBall setup: the cached undirected adjacency
+    (repartitioned once on its join key) and the radius-0 register
+    table — EXPLODED (node, pb) rows with bucket and rho packed into
+    one INT (see ``neighborhood_hll`` for why packing matters)."""
     ladder = "CASE " + " ".join(
         f"WHEN (h div 64) < {1 << k} THEN {k}" for k in range(1, 55)
     ) + " ELSE 55 END"
@@ -858,17 +833,58 @@ def neighborhood_hll(
         )
         .localCheckpoint(eager=True)
     )
+    return adj, ball
+
+
+def _hb_merge_round(adj: DataFrame, ball: DataFrame) -> DataFrame:
+    """One HyperBall round: propagate registers along edges and take
+    the per-(node, bucket) max — partial-aggregated, map-side combine
+    (bucket is the high bits of pb, so max(pb) IS the register max)."""
+    prop = adj.join(ball.withColumnRenamed("node", "u"), "u").select(
+        F.col("v").alias("node"), "pb"
+    )
+    return (
+        ball.unionByName(prop)
+        .groupBy("node", F.expr(f"pb div {HB_REGISTERS}").alias("bk"))
+        .agg(F.max("pb").alias("pb"))
+        .select("node", "pb")
+        .localCheckpoint(eager=True)
+    )
+
+
+def neighborhood_hll(
+    edges: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node r-hop neighborhood
+    sizes estimated by propagating HyperLogLog registers along edges —
+    (node, hll_est, nonzero_registers).  Exact r-hop counting
+    materializes the quadratic-in-the-hub-degree ball; HyperBall keeps
+    V x m integer registers and runs ``radius`` rounds of
+    merge-with-neighbors, which is why it is THE scale path for
+    neighborhood-function / effective-diameter work on web graphs.
+
+    Bit-reproducible like the corpus HLL sketch (same 60-bit md5
+    prefix, bucket = low 6 bits, rho = leading-zero rank of the
+    54-bit remainder via an integer CASE ladder): registers live as
+    EXPLODED (node, pb) rows with bucket and rho PACKED into one
+    INT (pb = bucket*64 + rho — bucket in the high bits, so
+    max(pb) within a bucket IS the register max), and the per-round
+    merge is a partial-aggregated groupBy(node, pb div 64).max(pb) —
+    map-side combining, whole-stage codegen, no higher-order-function
+    interpretation (a packed array<byte> register column would force
+    a non-partial aggregate; two separate LONG columns measured ~12
+    bytes/row heavier across the E*m-row shuffle).  State is V*m rows
+    per round, E*m rows shuffle per round; the adjacency is
+    repartitioned on its join key once and cached.  The estimate is
+    the standard harmonic mean with every term an exact BIGINT
+    (2^(55-rho)) and ONE double division.
+    """
+    adj, ball = _hb_init(edges, src, dst)
     for _ in range(radius):
-        prop = adj.join(ball.withColumnRenamed("node", "u"), "u").select(
-            F.col("v").alias("node"), "pb"
-        )
-        ball = (
-            ball.unionByName(prop)
-            .groupBy("node", F.expr(f"pb div {HB_REGISTERS}").alias("bk"))
-            .agg(F.max("pb").alias("pb"))
-            .select("node", "pb")
-            .localCheckpoint(eager=True)
-        )
+        ball = _hb_merge_round(adj, ball)
     adj.unpersist()
     m = HB_REGISTERS
     raw = (
@@ -908,3 +924,74 @@ def neighborhood_hll(
         )
     )
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Harmonic centrality via HyperBall (the application Boldi &
+    Vigna 2013 built it for): HC(v) = sum over r>=1 of
+    (|B_r(v)| - |B_{r-1}(v)|) / r, truncated at ``radius`` — the
+    centrality that is well-defined on disconnected web graphs
+    (unreachable nodes contribute 0, not an infinite distance).
+
+    Returns (node, hc_q) with hc_q an exact BIGINT in units of
+    1/(100*L), L = lcm(1..radius): each per-radius ball estimate is
+    quantized ONCE (q_r = round(est_r * 100) as BIGINT, including the
+    radius-0 singleton ball) and the weighted telescoping sum
+    hc_q = sum_r (q_r - q_{r-1}) * (L div r) is pure integer
+    arithmetic — partitioning- and engine-independent given the q_r,
+    which ride the same md5-register/one-double-division construction
+    as ``neighborhood_hll`` (and its documented 1-ulp ln() caveat in
+    the small-range branch).  Cost over neighborhood_hll: one extra
+    V*m-row partial aggregate per round; the propagation rounds are
+    identical.  The radius+1 V-sized q tables join on node at the end.
+    """
+    import math
+
+    weight_lcm = math.lcm(*range(1, radius + 1))
+    adj, ball = _hb_init(edges, src, dst)
+    qs = [_hb_q(ball, 0)]
+    for r in range(1, radius + 1):
+        ball = _hb_merge_round(adj, ball)
+        qs.append(_hb_q(ball, r))
+    adj.unpersist()
+    joined = qs[0]
+    for q in qs[1:]:
+        joined = joined.join(q, "node")
+    hc = sum(
+        (F.col(f"q{r}") - F.col(f"q{r - 1}")) * F.lit(weight_lcm // r)
+        for r in range(1, radius + 1)
+    )
+    return joined.select("node", hc.cast("long").alias("hc_q"))
+
+
+def _hb_q(ball: DataFrame, r: int) -> DataFrame:
+    """Quantized HLL estimate of one register table: (node, q{r}) with
+    q = round(est * 100) as BIGINT — the same corrected estimate as
+    ``neighborhood_hll`` but rounded once, directly from the double."""
+    m = HB_REGISTERS
+    raw = (
+        F.lit(0.709 * m * m).cast("double")
+        * F.lit(1 << 55).cast("double")
+        / (F.col("s_present") + (F.lit(m) - F.col("nz")) * F.lit(1 << 55)).cast(
+            "double"
+        )
+    )
+    lc = F.lit(float(m)).cast("double") * F.log(
+        F.lit(float(m)).cast("double") / (F.lit(m) - F.col("nz")).cast("double")
+    )
+    est = F.when((F.col("nz") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return (
+        ball.groupBy("node")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(pow(2, 55 - (pb % {HB_REGISTERS})) AS BIGINT)")
+            ).alias("s_present"),
+            F.count("*").alias("nz"),
+        )
+        .select("node", F.round(est * 100).cast("long").alias(f"q{r}"))
+    )

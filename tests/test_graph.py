@@ -654,6 +654,83 @@ def test_neighborhood_hll_matches_python_reference(spark):
     assert again == got
 
 
+def _reference_harmonic_centrality(pairs, radius=2):
+    """Pure-Python replay of graph.harmonic_centrality: per-radius
+    registers (same contract as the neighborhood reference), each
+    estimate quantized once at 1e2 (half-away-from-zero, floor(x+0.5)
+    — NOT Python round()), then the integer telescoping sum."""
+    import hashlib
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    regs = {}
+    for v in nbrs:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rem = h // 64
+        rho = 55 if rem == 0 else 55 - rem.bit_length()
+        regs[v] = {h % 64: rho}
+
+    def q(m):
+        s = sum(1 << (55 - r) for r in m.values()) + (64 - len(m)) * (1 << 55)
+        est = 0.709 * 64 * 64 * float(1 << 55) / float(s)
+        if len(m) < 64 and est <= 2.5 * 64:
+            est = 64.0 * math.log(64.0 / (64 - len(m)))
+        return math.floor(est * 100 + 0.5)
+
+    lcm = math.lcm(*range(1, radius + 1))
+    hc = {v: 0 for v in nbrs}
+    prev = {v: q(m) for v, m in regs.items()}
+    for r in range(1, radius + 1):
+        nxt = {}
+        for v in nbrs:
+            merged = dict(regs[v])
+            for u in nbrs[v]:
+                for b, rr in regs[u].items():
+                    if rr > merged.get(b, -1):
+                        merged[b] = rr
+            nxt[v] = merged
+        regs = nxt
+        cur = {v: q(m) for v, m in regs.items()}
+        for v in nbrs:
+            hc[v] += (cur[v] - prev[v]) * (lcm // r)
+        prev = cur
+    return hc
+
+
+def test_harmonic_centrality_matches_python_reference(spark):
+    from ffp_spark.graph import harmonic_centrality
+
+    rng = random.Random(62)
+    pairs = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(120)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    got = {r.node: r.hc_q for r in harmonic_centrality(e, radius=2).collect()}
+    assert got == _reference_harmonic_centrality(pairs, radius=2)
+    again = {
+        r.node: r.hc_q
+        for r in harmonic_centrality(e.repartition(9), radius=2).collect()
+    }
+    assert again == got
+
+
+def test_harmonic_centrality_tracks_exact_values(spark):
+    from ffp_spark.graph import harmonic_centrality
+
+    # path graph 0-..-9 at radius 2: HC(v) = |B1 - B0| + |B2 - B1|/2;
+    # hc_q is in 1/200ths, HLL on <=5 items is near-exact
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    got = {r.node: r.hc_q for r in harmonic_centrality(e, radius=2).collect()}
+    for v in range(10):
+        b1 = len({w for w in range(10) if 0 < abs(w - v) <= 1})
+        b2 = len({w for w in range(10) if abs(w - v) == 2})
+        exact = b1 + b2 / 2
+        assert abs(got[str(v)] / 200 - exact) / exact < 0.15, (v, got[str(v)], exact)
+
+
 def test_neighborhood_hll_tracks_exact_ball_sizes(spark):
     from ffp_spark.graph import neighborhood_hll
 
