@@ -75,6 +75,7 @@ def main() -> None:
 
     if section in ("all", "r5"):
         from ffp_spark.graph import (
+            harmonic_centrality,
             label_propagation as _lpa_r5,
             link_prediction,
             modularity,
@@ -108,6 +109,19 @@ def main() -> None:
         out["linkpred_fingerprint"] = sum(
             int(r.aa_score_q) for r in lp_rows
         )
+
+        # harmonic centrality rides the same propagation plus one
+        # V*64-row partial agg per round — the delta vs hyperball_sec
+        # is the price of the per-radius estimates
+        t0 = time.perf_counter()
+        hcagg = (
+            harmonic_centrality(e5, radius=2)
+            .agg(F.count("*").alias("n"), F.sum("hc_q").alias("s"))
+            .collect()[0]
+        )
+        out["harmonic_sec"] = round(time.perf_counter() - t0, 2)
+        out["harmonic_nodes"] = int(hcagg["n"])
+        out["harmonic_fingerprint"] = int(hcagg["s"])
 
         t0 = time.perf_counter()
         mod = modularity(e5, _lpa_r5(e5, rounds=3)).collect()[0]
