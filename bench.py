@@ -135,6 +135,8 @@ def main() -> None:
         "boilerplate_chunks",
         "graph_link_prediction",
         "neardup_canonical",
+        "graph_neighborhood_hll",
+        "graph_harmonic_centrality",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
