@@ -2443,6 +2443,121 @@ LIMIT 20
 _ORACLE_ONLY["graph_harmonic_centrality"] = _harmonic_centrality_oracle()
 
 
+def _q_graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function + effective diameter via HyperBall
+    (graph.neighborhood_function) on the part co-order graph — the
+    headline statistic HyperBall was published on: N(r) = estimated
+    reachable-pairs curve, d_eff = first radius where N(r) reaches 90%
+    of N(max).  One row per radius 0..3: nf_q (exact BIGINT sum of the
+    per-node quantized ball estimates), frac_ppm = (1e6*nf_q) div
+    nf_max (integral division, exact), and the d_eff scalar repeated —
+    every column integer, so the cross-engine compare is bitwise."""
+    from ffp_spark.graph import neighborhood_function
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """).localCheckpoint(eager=True)
+    nf = neighborhood_function(edges, max_radius=3)
+    mx = nf.agg(F.max(F.struct("radius", "nf_q")).alias("m")).select(
+        F.col("m.nf_q").alias("nf_max")
+    )
+    fr = nf.crossJoin(mx).select(
+        "radius", "nf_q", F.expr("(1000000 * nf_q) div nf_max").alias("frac_ppm")
+    )
+    de = fr.agg(
+        F.min(F.when(F.col("frac_ppm") >= 900000, F.col("radius"))).alias("d_eff")
+    )
+    return fr.crossJoin(de).orderBy("radius")
+
+
+def _effective_diameter_oracle() -> str:
+    ladder = "CASE " + " ".join(
+        f"WHEN (h // 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    ctes = [f"""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0
+),
+hv AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT v AS node FROM adj)
+),
+b0 AS MATERIALIZED (
+  SELECT node, CAST(h % 64 AS BIGINT) AS bucket,
+         CAST(CASE WHEN (h // 64) = 0 THEN 55
+                   ELSE 55 - ({ladder}) END AS BIGINT) AS rho
+  FROM hv
+)"""]
+    for r in range(3):
+        ctes.append(f"""b{r + 1} AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT adj.v AS node, b{r}.bucket, b{r}.rho
+    FROM adj JOIN b{r} ON b{r}.node = adj.u
+    UNION ALL
+    SELECT node, bucket, rho FROM b{r}
+  ) t GROUP BY node, bucket
+)""")
+    for r in range(4):
+        ctes.append(f"""q{r} AS (
+  SELECT CAST(sum(q) AS BIGINT) AS nf_q FROM (
+    SELECT CAST(round(CASE WHEN nz < 64 AND raw <= {2.5 * 64}
+                           THEN CAST(64 AS DOUBLE)
+                                * ln(CAST(64 AS DOUBLE) / CAST(64 - nz AS DOUBLE))
+                           ELSE raw END * 100) AS BIGINT) AS q
+    FROM (
+      SELECT node, nz,
+             CAST({0.709 * 64 * 64} AS DOUBLE) * CAST({1 << 55} AS DOUBLE)
+               / CAST(s_present + (64 - nz) * {1 << 55} AS DOUBLE) AS raw
+      FROM (
+        SELECT node,
+               CAST(sum(CAST(pow(2, 55 - rho) AS BIGINT)) AS BIGINT) AS s_present,
+               count(*) AS nz
+        FROM b{r} GROUP BY node
+      ) s
+    ) t
+  ) u
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """,
+nf AS (
+  SELECT CAST(0 AS BIGINT) AS radius, nf_q FROM q0
+  UNION ALL SELECT 1, nf_q FROM q1
+  UNION ALL SELECT 2, nf_q FROM q2
+  UNION ALL SELECT 3, nf_q FROM q3
+),
+fr AS (
+  SELECT radius, nf_q,
+         (1000000 * nf_q) // (SELECT nf_q FROM nf WHERE radius = 3) AS frac_ppm
+  FROM nf
+),
+de AS (
+  SELECT min(CASE WHEN frac_ppm >= 900000 THEN radius END) AS d_eff FROM fr
+)
+SELECT radius, nf_q, frac_ppm, d_eff
+FROM fr CROSS JOIN de
+ORDER BY radius
+"""
+    )
+
+
+_ORACLE_ONLY["graph_effective_diameter"] = _effective_diameter_oracle()
+
+
 # Degree assortativity (Newman) of the part co-order graph.  With
 # integer edge-endpoint degrees j,k and M edges, r reduces to
 # (4*M*S1 - S2^2) / (2*M*S3 - S2^2) with S1=sum(jk), S2=sum(j+k),
@@ -4651,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["neardup_canonical"] = _q_neardup_canonical
     all_q["graph_neighborhood_hll"] = _q_graph_neighborhood_hll
     all_q["graph_harmonic_centrality"] = _q_graph_harmonic_centrality
+    all_q["graph_effective_diameter"] = _q_graph_effective_diameter
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

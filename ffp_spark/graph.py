@@ -969,6 +969,44 @@ def harmonic_centrality(
     return joined.select("node", hc.cast("long").alias("hc_q"))
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    max_radius: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The graph's neighborhood function via HyperBall — N(r) = sum
+    over nodes of the estimated r-ball size, the curve whose 90% point
+    is the effective diameter (the headline web-graph statistic of
+    Boldi & Vigna 2013).  Returns one row per radius 0..max_radius:
+    (radius, nf_q) with nf_q = sum of the per-node quantized estimates
+    (q_r = round(est*100) BIGINT, same construction as
+    ``harmonic_centrality``) — an exact BIGINT given the registers, so
+    partitioning- and engine-independent.  Cost: the same propagation
+    rounds as ``neighborhood_hll`` run to max_radius, plus one scalar
+    aggregate per radius; the per-radius frames are single rows, so
+    the union is driver-free and O(max_radius) tall.
+    """
+    adj, ball = _hb_init(edges, src, dst)
+    rows = [
+        _hb_q(ball, 0).agg(F.sum("q0").alias("nf_q")).select(
+            F.lit(0).cast("long").alias("radius"), "nf_q"
+        )
+    ]
+    for r in range(1, max_radius + 1):
+        ball = _hb_merge_round(adj, ball)
+        rows.append(
+            _hb_q(ball, r).agg(F.sum(f"q{r}").alias("nf_q")).select(
+                F.lit(r).cast("long").alias("radius"), "nf_q"
+            )
+        )
+    adj.unpersist()
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 def _hb_q(ball: DataFrame, r: int) -> DataFrame:
     """Quantized HLL estimate of one register table: (node, q{r}) with
     q = round(est * 100) as BIGINT — the same corrected estimate as

@@ -731,6 +731,77 @@ def test_harmonic_centrality_tracks_exact_values(spark):
         assert abs(got[str(v)] / 200 - exact) / exact < 0.15, (v, got[str(v)], exact)
 
 
+def _reference_neighborhood_function(pairs, max_radius=3):
+    """Pure-Python replay of graph.neighborhood_function: per-radius
+    global sums of the once-quantized ball estimates."""
+    import hashlib
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    regs = {}
+    for v in nbrs:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rem = h // 64
+        rho = 55 if rem == 0 else 55 - rem.bit_length()
+        regs[v] = {h % 64: rho}
+
+    def q(m):
+        s = sum(1 << (55 - r) for r in m.values()) + (64 - len(m)) * (1 << 55)
+        est = 0.709 * 64 * 64 * float(1 << 55) / float(s)
+        if len(m) < 64 and est <= 2.5 * 64:
+            est = 64.0 * math.log(64.0 / (64 - len(m)))
+        return math.floor(est * 100 + 0.5)
+
+    nf = {0: sum(q(m) for m in regs.values())}
+    for r in range(1, max_radius + 1):
+        nxt = {}
+        for v in nbrs:
+            merged = dict(regs[v])
+            for u in nbrs[v]:
+                for b, rr in regs[u].items():
+                    if rr > merged.get(b, -1):
+                        merged[b] = rr
+            nxt[v] = merged
+        regs = nxt
+        nf[r] = sum(q(m) for m in regs.values())
+    return nf
+
+
+def test_neighborhood_function_matches_python_reference(spark):
+    from ffp_spark.graph import neighborhood_function
+
+    rng = random.Random(63)
+    pairs = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(120)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    got = {
+        r.radius: r.nf_q for r in neighborhood_function(e, max_radius=3).collect()
+    }
+    assert got == _reference_neighborhood_function(pairs, max_radius=3)
+    # monotone: balls only grow with radius
+    assert got[0] <= got[1] <= got[2] <= got[3]
+    again = {
+        r.radius: r.nf_q
+        for r in neighborhood_function(e.repartition(9), max_radius=3).collect()
+    }
+    assert again == got
+
+
+def test_neighborhood_function_saturates_at_graph_diameter(spark):
+    from ffp_spark.graph import neighborhood_function
+
+    # two disjoint triangles: every 1-ball is already the full
+    # component, so N(r) is constant from r=1 on — d_eff would be 1
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)])
+    nf = {r.radius: r.nf_q for r in neighborhood_function(e, max_radius=3).collect()}
+    assert nf[1] == nf[2] == nf[3]
+    assert nf[0] < nf[1]
+
+
 def test_neighborhood_hll_tracks_exact_ball_sizes(spark):
     from ffp_spark.graph import neighborhood_hll
 
