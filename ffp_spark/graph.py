@@ -886,6 +886,35 @@ def neighborhood_hll(
     for _ in range(radius):
         ball = _hb_merge_round(adj, ball)
     adj.unpersist()
+    return _hb_sums(ball).select(
+        "node",
+        F.round(_hb_est_expr(), 2).alias("hll_est"),
+        F.col("nz").cast("long").alias("nonzero_registers"),
+    )
+
+
+def _hb_sums(ball: DataFrame) -> DataFrame:
+    """Collapse a packed register table to (node, s_present, nz) —
+    every term an exact BIGINT (2^(55-rho)), partial-aggregated."""
+    return ball.groupBy("node").agg(
+        F.sum(
+            F.expr(f"CAST(pow(2, 55 - (pb % {HB_REGISTERS})) AS BIGINT)")
+        ).alias("s_present"),
+        F.count("*").alias("nz"),
+    )
+
+
+def _hb_est_expr():
+    """The corrected HLL estimate over (s_present, nz) columns: the
+    standard harmonic mean (ONE double division over identical integer
+    trees) with the small-range linear-counting correction — below
+    2.5*m the harmonic estimator saturates toward alpha*m (~45 here
+    even for a 3-node ball), so count empty registers instead.  Both
+    branches are one double expression over identical integers; the
+    ln() carries the same documented 1-ulp libm caveat as
+    lm_quality_score (a flip needs a value exactly on a quantization
+    boundary).  HyperBall lives in this regime — most balls are small.
+    """
     m = HB_REGISTERS
     raw = (
         F.lit(0.709 * m * m).cast("double")
@@ -894,36 +923,10 @@ def neighborhood_hll(
             "double"
         )
     )
-    # small-range (linear counting) correction, standard HLL: below
-    # 2.5*m the harmonic estimator saturates toward alpha*m (~45 here
-    # even for a 3-node ball), so count empty registers instead.  Both
-    # branches are one double expression over identical integers; the
-    # ln() carries the same documented 1-ulp libm caveat as
-    # lm_quality_score (a flip needs a value exactly on a .005 2dp
-    # boundary).  HyperBall lives in this regime — most balls are small.
     lc = F.lit(float(m)).cast("double") * F.log(
         F.lit(float(m)).cast("double") / (F.lit(m) - F.col("nz")).cast("double")
     )
-    out = (
-        ball.groupBy("node")
-        .agg(
-            F.sum(
-                F.expr(f"CAST(pow(2, 55 - (pb % {HB_REGISTERS})) AS BIGINT)")
-            ).alias("s_present"),
-            F.count("*").alias("nz"),
-        )
-        .select(
-            "node",
-            F.round(
-                F.when((F.col("nz") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(
-                    raw
-                ),
-                2,
-            ).alias("hll_est"),
-            F.col("nz").cast("long").alias("nonzero_registers"),
-        )
-    )
-    return out
+    return F.when((F.col("nz") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
 
 
 def harmonic_centrality(
@@ -1011,25 +1014,6 @@ def _hb_q(ball: DataFrame, r: int) -> DataFrame:
     """Quantized HLL estimate of one register table: (node, q{r}) with
     q = round(est * 100) as BIGINT — the same corrected estimate as
     ``neighborhood_hll`` but rounded once, directly from the double."""
-    m = HB_REGISTERS
-    raw = (
-        F.lit(0.709 * m * m).cast("double")
-        * F.lit(1 << 55).cast("double")
-        / (F.col("s_present") + (F.lit(m) - F.col("nz")) * F.lit(1 << 55)).cast(
-            "double"
-        )
-    )
-    lc = F.lit(float(m)).cast("double") * F.log(
-        F.lit(float(m)).cast("double") / (F.lit(m) - F.col("nz")).cast("double")
-    )
-    est = F.when((F.col("nz") < m) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
-    return (
-        ball.groupBy("node")
-        .agg(
-            F.sum(
-                F.expr(f"CAST(pow(2, 55 - (pb % {HB_REGISTERS})) AS BIGINT)")
-            ).alias("s_present"),
-            F.count("*").alias("nz"),
-        )
-        .select("node", F.round(est * 100).cast("long").alias(f"q{r}"))
+    return _hb_sums(ball).select(
+        "node", F.round(_hb_est_expr() * 100).cast("long").alias(f"q{r}")
     )
