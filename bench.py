@@ -137,6 +137,7 @@ def main() -> None:
         "neardup_canonical",
         "graph_neighborhood_hll",
         "graph_harmonic_centrality",
+        "graph_effective_diameter",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
