@@ -79,6 +79,7 @@ def main() -> None:
             label_propagation as _lpa_r5,
             link_prediction,
             modularity,
+            neighborhood_function,
             neighborhood_hll,
         )
 
@@ -122,6 +123,18 @@ def main() -> None:
         out["harmonic_sec"] = round(time.perf_counter() - t0, 2)
         out["harmonic_nodes"] = int(hcagg["n"])
         out["harmonic_fingerprint"] = int(hcagg["s"])
+
+        # neighborhood function at radius 3: one MORE propagation round
+        # than the hyperball/harmonic rows (the marginal round is the
+        # scale cost that matters), reduced to one scalar per radius
+        t0 = time.perf_counter()
+        nf_rows = {
+            int(r.radius): int(r.nf_q)
+            for r in neighborhood_function(e5, max_radius=3).collect()
+        }
+        out["nfunc_sec"] = round(time.perf_counter() - t0, 2)
+        out["nfunc_fingerprint"] = nf_rows[3]
+        out["nfunc_curve"] = [nf_rows[r] for r in sorted(nf_rows)]
 
         t0 = time.perf_counter()
         mod = modularity(e5, _lpa_r5(e5, rounds=3)).collect()[0]
