@@ -1138,6 +1138,117 @@ ORDER BY score DESC, a, b
 _ORACLE_ONLY["minhash_lsh_candidates"] = _minhash_oracle()
 
 
+def _q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator error as an oracled VALUE (the dedup-tier
+    sibling of ann_recall_eval / graph_neighborhood_hll's exact-beside-
+    estimate contract): for every LSH candidate pair, the signature
+    estimate est_ppm = (1e6 * matching_positions) div 64 beside the
+    EXACT word-3-gram Jaccard jac_ppm = (1e6 * |A∩B|) div |A∪B| and the
+    signed difference err_ppm — all integral division, bitwise
+    cross-engine.  The exact side joins shingle sets only for the
+    candidate pairs (|C|-bounded, the column you'd sample at 100 TB);
+    score*64 is exact (m/64.0 is a dyadic rational), so the estimate
+    round-trips to the integer match count losslessly."""
+    from ffp_spark.linking import candidate_pairs, with_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("mention_id"),
+        F.lower(F.col("text")).alias("norm"),
+    )
+    signed = with_signatures(m, mode="word").cache()
+    cands = (
+        candidate_pairs(signed, min_jaccard=0.3)
+        .select(
+            "a",
+            "b",
+            F.expr("(1000000 * CAST(round(score * 64) AS BIGINT)) div 64").alias(
+                "est_ppm"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    signed.unpersist()
+    # exact shingle sets, same construction as the signature UDF and
+    # the oracle's sh CTE: word 3-grams over whitespace-split tokens
+    sh = (
+        m.select(
+            F.col("mention_id").alias("mid"),
+            F.expr("filter(split(norm, '\\\\s+'), t -> t != '')").alias("toks"),
+        )
+        .where(F.expr("size(toks) >= 3"))
+        .select(
+            "mid",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks) - 3),"
+                    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy(F.col("mid")).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("mid").alias("a"), "shingle")
+    sb = sh.select(F.col("mid").alias("b"), "shingle")
+    ni = (
+        cands.select("a", "b")
+        .join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("mid").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("mid").alias("b"), F.col("n").alias("nb"))
+    return (
+        cands.join(ni, ["a", "b"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "est_ppm",
+            F.expr(
+                "(1000000 * coalesce(ni, 0)) div (na + nb - coalesce(ni, 0))"
+            ).alias("jac_ppm"),
+        )
+        .select(
+            "a",
+            "b",
+            "est_ppm",
+            "jac_ppm",
+            (F.col("est_ppm") - F.col("jac_ppm")).alias("err_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_ORACLE_ONLY["minhash_estimate_error"] = f"""
+WITH {_minhash_cte_body()},
+cset AS (
+  SELECT a, b, (1000000 * CAST(round(score * 64) AS BIGINT)) // 64 AS est_ppm
+  FROM scored WHERE score >= 0.3
+),
+sizes AS (SELECT mid, count(*) AS n FROM sh GROUP BY mid),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cset c
+  JOIN sh sa ON sa.mid = c.a
+  JOIN sh sb ON sb.mid = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b, c.est_ppm,
+       (1000000 * COALESCE(i.ni, 0))
+         // (na.n + nb.n - COALESCE(i.ni, 0)) AS jac_ppm,
+       c.est_ppm - (1000000 * COALESCE(i.ni, 0))
+         // (na.n + nb.n - COALESCE(i.ni, 0)) AS err_ppm
+FROM cset c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes na ON na.mid = c.a
+JOIN sizes nb ON nb.mid = c.b
+ORDER BY c.a, c.b
+"""
+
+
 def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash code histogram — one JVM projection, no explode.
     Uses the md5-derived token hash so DuckDB reproduces the exact codes."""
@@ -4767,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_neighborhood_hll"] = _q_graph_neighborhood_hll
     all_q["graph_harmonic_centrality"] = _q_graph_harmonic_centrality
     all_q["graph_effective_diameter"] = _q_graph_effective_diameter
+    all_q["minhash_estimate_error"] = _q_minhash_estimate_error
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -236,3 +236,37 @@ class TestNeardupCanonical:
             for r in em._q_neardup_canonical(spark, str(tmp_path)).collect()
         }
         assert got == {"20": (3, "21", 2), "30": (2, "30", 1)}
+
+
+class TestMinhashEstimateError:
+    def test_exact_jaccard_and_error_columns(self, spark, tmp_path):
+        """minhash_estimate_error ships the exact word-3-gram Jaccard
+        in ppm beside the signature estimate; an identical pair must
+        have jac_ppm = 1e6, est_ppm = 1e6, err_ppm = 0, and a partial
+        overlap must match the hand-computed shingle-set Jaccard."""
+        import __spark_entry__ as em
+
+        filler = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            (50, filler, "s1"),            # identical pair: 28 shingles
+            (51, filler, "s1"),
+            (60, filler + " omega", "s2"),  # superset: 29 shingles,
+            # inter with 50 = 28, union = 29
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = {
+            (r.a, r.b): (r.est_ppm, r.jac_ppm, r.err_ppm)
+            for r in em._q_minhash_estimate_error(spark, str(tmp_path)).collect()
+        }
+        assert got[("50", "51")] == (1000000, 1000000, 0)
+        exact = (1000000 * 28) // 29
+        for pair in (("50", "60"), ("51", "60")):
+            est, jac, err = got[pair]
+            assert jac == exact
+            assert err == est - jac
+            # a 28/29 overlap should estimate high on 64 hashes
+            assert est >= 800000
