@@ -1325,6 +1325,116 @@ ORDER BY a, b
 """
 
 
+def _q_simhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash proxy quality as an oracled VALUE (completes the
+    estimator-error contract across the dedup sketches: MinHash K68,
+    HLL/ANN before it): for every Hamming<=3 near-dup pair, the
+    Hamming distance beside the EXACT word-3-gram Jaccard in integer
+    ppm — shingles over the SAME space-split tokens the SimHash votes
+    consume.  Both-empty shingle sets (docs under 3 tokens) define
+    jac_ppm = 1e6 on both engines (identical-by-convention, guards the
+    integral division).  The exact join is bounded by the near-dup
+    pair set, never all-pairs."""
+    from ffp_spark.textops import MD5_60BIT_HASH, simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL AND trim(text) <> ''"
+    )
+    pairs = (
+        simhash_near_dups(
+            docs, max_hamming=3, n_bits=60, n_bands=4, hash_expr=MD5_60BIT_HASH
+        )
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .localCheckpoint(eager=True)
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("toks"),
+        )
+        .where(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks) - 3),"
+                    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = sh.select(F.col("doc_id").alias("a"), "shingle")
+    gb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    ni = (
+        pairs.select("a", "b")
+        .join(ga, "a")
+        .join(gb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ni, ["a", "b"], "left")
+        .join(na, "a", "left")
+        .join(nb, "b", "left")
+        .select(
+            "a",
+            "b",
+            "hamming",
+            F.expr(
+                "CASE WHEN coalesce(na, 0) + coalesce(nb, 0) - coalesce(ni, 0) = 0"
+                " THEN 1000000"
+                " ELSE (1000000 * coalesce(ni, 0))"
+                " div (coalesce(na, 0) + coalesce(nb, 0) - coalesce(ni, 0)) END"
+            ).cast("long").alias("jac_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_ORACLE_ONLY["simhash_estimate_error"] = _SIMHASH_ORACLE_CTE + """
+, pairs AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b,
+         CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+  FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+),
+ws2 AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+shg AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   for i in range(1, len(tk) - 1)]) AS shingle
+    FROM ws2 WHERE len(tk) >= 3
+  )
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+inter2 AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p
+  JOIN shg ga ON ga.doc_id = p.a
+  JOIN shg gb ON gb.doc_id = p.b AND gb.shingle = ga.shingle
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b, p.hamming,
+       CAST(CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0) = 0
+                 THEN 1000000
+                 ELSE (1000000 * COALESCE(i.ni, 0))
+                      // (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.ni, 0))
+            END AS BIGINT) AS jac_ppm
+FROM pairs p
+LEFT JOIN inter2 i ON i.a = p.a AND i.b = p.b
+LEFT JOIN sizes2 na ON na.doc_id = p.a
+LEFT JOIN sizes2 nb ON nb.doc_id = p.b
+ORDER BY p.a, p.b
+"""
+
+
 def _q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for similarity search: random-hyperplane LSH, exact
     cosine ONLY within the query's bucket (ann.lsh_topk — the real
@@ -4879,6 +4989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_harmonic_centrality"] = _q_graph_harmonic_centrality
     all_q["graph_effective_diameter"] = _q_graph_effective_diameter
     all_q["minhash_estimate_error"] = _q_minhash_estimate_error
+    all_q["simhash_estimate_error"] = _q_simhash_estimate_error
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -270,3 +270,36 @@ class TestMinhashEstimateError:
             assert err == est - jac
             # a 28/29 overlap should estimate high on 64 hashes
             assert est >= 800000
+
+
+class TestSimhashEstimateError:
+    def test_hamming_beside_exact_jaccard(self, spark, tmp_path):
+        """simhash_estimate_error pairs the Hamming proxy with the
+        exact shingle Jaccard: an identical pair is (hamming 0,
+        jac_ppm 1e6); a one-word-suffix variant keeps hamming small
+        while jac_ppm equals the hand-computed shingle ratio."""
+        import __spark_entry__ as em
+
+        filler = " ".join(f"tok{i}" for i in range(40))
+        rows = [
+            (70, filler, "s1"),
+            (71, filler, "s1"),  # identical: ham 0, jac 1e6
+            # doubled text: every per-bit vote sum exactly doubles, so
+            # the SimHash is IDENTICAL (ham 0 by construction), while
+            # the two seam trigrams (tok38 tok39 tok0 / tok39 tok0
+            # tok1) grow the shingle set 38 -> 40: inter 38, union 40
+            (80, filler + " " + filler, "s2"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = {
+            (r.a, r.b): (r.hamming, r.jac_ppm)
+            for r in em._q_simhash_estimate_error(spark, str(tmp_path)).collect()
+        }
+        assert got[(70, 71)] == (0, 1000000)
+        exact = (1000000 * 38) // 40  # = 950000
+        assert got[(70, 80)] == (0, exact)
+        assert got[(71, 80)] == (0, exact)
