@@ -2225,6 +2225,73 @@ SELECT (SELECT count(*) FROM (SELECT a AS n FROM e{rounds} UNION SELECT b FROM e
 _ORACLE_ONLY["graph_kcore"] = _kcore_oracle()
 
 
+def _q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the part co-order graph after 4 fixed peeling rounds
+    (graph.ktruss_edges: drop edges in no triangle, repeat — k=3 keeps
+    the result non-vacuous at BOTH gate scale factors; the 4-truss is
+    empty at sf0.01).  Spark
+    enumerates triangles per round via degree-ordered orientation (wedge
+    join bounded by arboricity — survives power-law skew at web scale);
+    the DuckDB oracle unrolls the same 4 rounds with the naive 3-way
+    join — identical by construction whether or not peeling converged."""
+    from ffp_spark.graph import ktruss_edges
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    truss = ktruss_edges(edges, k=3, rounds=4)
+    nodes = truss.select(F.col("a").alias("node")).unionByName(
+        truss.select(F.col("b").alias("node"))
+    ).distinct()
+    return truss.agg(F.count("*").alias("n_truss_edges")).crossJoin(
+        nodes.agg(F.count("*").alias("n_truss_nodes"))
+    ).select("n_truss_nodes", "n_truss_edges")
+
+
+def _ktruss_oracle(k: int = 3, rounds: int = 4) -> str:
+    ctes = ["""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""t{r} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{r} e1 JOIN e{r} e2 ON e1.b = e2.a
+              JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{r} AS (
+  SELECT a, b, count(*) AS s FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r}
+  ) GROUP BY a, b
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e{r}.a, e{r}.b FROM e{r}
+  JOIN s{r} ON e{r}.a = s{r}.a AND e{r}.b = s{r}.b AND s{r}.s >= {k - 2}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT count(*) FROM (SELECT a AS n FROM e{rounds} UNION SELECT b FROM e{rounds})) AS n_truss_nodes,
+       (SELECT count(*) FROM e{rounds}) AS n_truss_edges
+"""
+    )
+
+
+_ORACLE_ONLY["graph_ktruss"] = _ktruss_oracle()
+
+
 def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-order graph via synchronous
     label propagation (graph.label_propagation): fixed 3 rounds,
@@ -4990,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_effective_diameter"] = _q_graph_effective_diameter
     all_q["minhash_estimate_error"] = _q_minhash_estimate_error
     all_q["simhash_estimate_error"] = _q_simhash_estimate_error
+    all_q["graph_ktruss"] = _q_graph_ktruss
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

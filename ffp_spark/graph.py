@@ -326,6 +326,96 @@ def kcore_edges(
     return e
 
 
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edges surviving ``rounds`` iterations of k-truss peeling (drop
+    every edge in fewer than k-2 triangles, repeat).
+
+    Same fixed-round contract as :func:`kcore_edges`: the result after
+    r rounds is a well-defined deterministic object both engines
+    compute identically (the DuckDB oracle unrolls the same r rounds);
+    pick ``rounds`` >= the graph's peeling depth for the true k-truss.
+
+    Per round the triangle enumeration uses degree-ordered orientation
+    (one wedge join bounded by arboricity, the shape that survives
+    power-law skew at web scale — NOT the naive 3-way join the
+    eval-scale oracle runs), then each triangle charges its 3 canonical
+    edges and a left-semi join keeps edges with support >= k-2.  Edge
+    set checkpointed per round (O(1) lineage).
+    """
+    support = max(0, k - 2)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+        oriented = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                )
+                .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+                .alias("o")
+            )
+            .select("o.u", "o.v")
+            .localCheckpoint(eager=True)  # consumed by wedge + closing join
+        )
+        o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        o2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        o3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+        tris = o1.join(o2, "y").join(o3, ["x", "z"])
+        # each triangle charges its 3 edges, re-canonicalized (the
+        # orientation order is (degree, id), not lexicographic)
+        tri_edges = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"),
+                        F.greatest("y", "z").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"),
+                        F.greatest("x", "z").alias("b"),
+                    ),
+                )
+            ).alias("t")
+        ).select("t.a", "t.b")
+        keep = (
+            tri_edges.groupBy("a", "b")
+            .agg(F.count("*").alias("s"))
+            .where(F.col("s") >= support)
+            .select("a", "b")
+        )
+        e = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+    return e
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,

@@ -289,6 +289,59 @@ def test_kcore_strips_pendants_and_keeps_clique(spark):
     assert kcore_edges(e, k=4, rounds=4).count() == 0
 
 
+def _naive_ktruss(pairs, k, rounds):
+    """Reference peeling: drop edges in < k-2 triangles, repeat."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    for _ in range(rounds):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        edges = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+    return edges
+
+
+def test_ktruss_keeps_clique_drops_tree(spark):
+    from ffp_spark.graph import ktruss_edges
+
+    # K4 clique + pendant path: every clique edge sits in 2 triangles,
+    # the path edges in none -> 4-truss == the clique
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    e = _edges(spark, k4 + [("d", "e"), ("e", "f")])
+    truss = ktruss_edges(e, k=4, rounds=3)
+    got = sorted((r.a, r.b) for r in truss.collect())
+    assert got == sorted(tuple(sorted(p)) for p in k4)
+    # k=5 needs every edge in 3 triangles -> K4 peels away entirely
+    assert ktruss_edges(e, k=5, rounds=3).count() == 0
+
+
+def test_ktruss_cascades_and_matches_naive_on_random_graph(spark):
+    from ffp_spark.graph import ktruss_edges
+
+    # triangle glued to a 4-cycle by one shared edge: the cycle edges
+    # peel in round 1, which does NOT unseat the triangle
+    tri_plus_cycle = [("a", "b"), ("b", "c"), ("a", "c"),
+                      ("c", "d"), ("d", "e"), ("e", "f"), ("f", "c")]
+    e = _edges(spark, tri_plus_cycle)
+    got = sorted((r.a, r.b) for r in ktruss_edges(e, k=3, rounds=3).collect())
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+    rng = random.Random(7)
+    pairs = [
+        (f"n{rng.randrange(18)}", f"n{rng.randrange(18)}") for _ in range(70)
+    ]
+    for k in (3, 4):
+        want = _naive_ktruss(pairs, k=k, rounds=4)
+        got = {
+            (r.a, r.b) for r in ktruss_edges(_edges(spark, pairs), k=k, rounds=4).collect()
+        }
+        assert got == want
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
