@@ -2292,6 +2292,77 @@ SELECT (SELECT count(*) FROM (SELECT a AS n FROM e{rounds} UNION SELECT b FROM e
 _ORACLE_ONLY["graph_ktruss"] = _ktruss_oracle()
 
 
+def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed trade graph:
+    customer -> supplier for every lineitem relationship, supplier ->
+    customer only where the relationship saw >= 3 returned items
+    (l_returnflag = 'R' — the >= 3 cut keeps the giant component from
+    swallowing the graph: 1481 SCCs / biggest 120 at sf0.01 vs one
+    1597-node SCC with every return as a back edge), so cycles — and
+    SCCs beyond singletons — exist exactly where repeated returns
+    close the loop.  Spark runs the
+    forward-backward coloring SCC (graph.scc, run-to-convergence,
+    EXACT); DuckDB computes the same object independently via
+    transitive closure (scc_id = min over mutually-reachable nodes) —
+    no lockstep construction.  Top 20 components by size."""
+    from ffp_spark.graph import scc
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        WITH cs AS (
+          SELECT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s,
+                 CASE WHEN sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) >= 3
+                      THEN 1 ELSE 0 END AS r
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM cs WHERE r = 1
+    """)
+    return (
+        scc(edges)
+        .groupBy("scc_id")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), "scc_id")
+        .limit(20)
+    )
+
+
+_ORACLE_ONLY["graph_scc"] = """
+WITH RECURSIVE cs AS MATERIALIZED (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         CASE WHEN sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) >= 3
+              THEN 1 ELSE 0 END AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM cs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM cs WHERE r = 1
+),
+reach AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT reach.s, e.dst FROM reach JOIN e ON reach.d = e.src
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+scc AS (
+  SELECT node, min(u) AS scc_id FROM (
+    SELECT r1.s AS node, r1.d AS u
+    FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+    UNION ALL
+    SELECT node, node FROM nodes
+  ) GROUP BY node
+)
+SELECT scc_id, count(*) AS sz
+FROM scc GROUP BY scc_id
+ORDER BY sz DESC, scc_id
+LIMIT 20
+"""
+
+
 def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-order graph via synchronous
     label propagation (graph.label_propagation): fixed 3 rounds,
@@ -5058,6 +5129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["minhash_estimate_error"] = _q_minhash_estimate_error
     all_q["simhash_estimate_error"] = _q_simhash_estimate_error
     all_q["graph_ktruss"] = _q_graph_ktruss
+    all_q["graph_scc"] = _q_graph_scc
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -342,6 +342,87 @@ def test_ktruss_cascades_and_matches_naive_on_random_graph(spark):
         assert got == want
 
 
+def _tarjan_sccs(pairs):
+    """Reference SCCs (iterative Tarjan): {node: min-node-of-component}."""
+    adj = {}
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    index, low, onstk, stk, comp = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(sorted(adj.get(root, []))))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stk.append(root)
+        onstk.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(sorted(adj.get(w, [])))))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+    return comp
+
+
+def test_scc_pins_cycles_chains_and_cross_edges(spark):
+    from ffp_spark.graph import scc
+
+    # two 3-cycles bridged one-way + a chain hanging off: the bridge
+    # never merges the cycles, chain nodes are singletons
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("e", "f"), ("f", "d"),
+             ("c", "d"),                       # one-way bridge
+             ("f", "g"), ("g", "h")]           # chain
+    got = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "d",
+                   "g": "g", "h": "h"}
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    from ffp_spark.graph import scc
+
+    for seed, n, m in ((3, 14, 30), (11, 20, 45)):
+        rng = random.Random(seed)
+        pairs = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(m)
+        ]
+        want = _tarjan_sccs(pairs)
+        got = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
+        assert got == want
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
