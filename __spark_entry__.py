@@ -2363,6 +2363,83 @@ LIMIT 20
 """
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings table (cluster.kmeans_assignments):
+    k=4, 2 Lloyd iterations, init = the 4 lowest-id vectors, EVERY
+    value in integer micro-units (vectors quantized once, centroids =
+    element-wise sum div n, costs = integer squared L2) so sizes AND
+    the inertia objective replay bitwise in DuckDB's unrolled CTEs.
+    Assignment is a zero-shuffle codegen map (centroid literals +
+    array_min argmin); the update is one posexplode + (cid, dim) sum."""
+    from ffp_spark.cluster import kmeans_assignments
+
+    _t(spark, sf_dir, "embeddings")
+    out = kmeans_assignments(spark.table("embeddings"), k=4, iters=2)
+    return (
+        out.groupBy("cid")
+        .agg(F.count("*").alias("n"), F.sum("cost").alias("inertia_q"))
+        .orderBy("cid")
+    )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    ctes = [f"""eq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT) + 2000000) AS xq
+  FROM embeddings
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, unnest(range({dim})) AS i, unnest(xq) AS x FROM eq
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, i, x AS c FROM ev WHERE vec_id < {k}
+)"""]
+    for r in range(iters):
+        ctes.append(f"""cost{r} AS (
+  SELECT ev.vec_id, c.cid, sum((ev.x - c.c) * (ev.x - c.c)) AS cost
+  FROM ev JOIN c{r} c ON ev.i = c.i
+  GROUP BY 1, 2
+),
+a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cost, cid) AS rn
+    FROM cost{r}
+  ) WHERE rn = 1
+),
+c{r + 1} AS (
+  SELECT c{r}.cid, c{r}.i, COALESCE(u.c, c{r}.c) AS c
+  FROM c{r} LEFT JOIN (
+    SELECT a{r}.cid, ev.i, CAST(sum(ev.x) // count(*) AS BIGINT) AS c
+    FROM a{r} JOIN ev ON a{r}.vec_id = ev.vec_id
+    GROUP BY 1, 2
+  ) u ON c{r}.cid = u.cid AND c{r}.i = u.i
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+costf AS (
+  SELECT ev.vec_id, c.cid, sum((ev.x - c.c) * (ev.x - c.c)) AS cost
+  FROM ev JOIN c{iters} c ON ev.i = c.i
+  GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, cid, cost FROM (
+    SELECT vec_id, cid, cost,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cost, cid) AS rn
+    FROM costf
+  ) WHERE rn = 1
+)
+SELECT cid, count(*) AS n, CAST(sum(cost) AS BIGINT) AS inertia_q
+FROM af GROUP BY cid ORDER BY cid
+"""
+    )
+
+
+_ORACLE_ONLY["kmeans_clusters"] = _kmeans_oracle()
+
+
 def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-order graph via synchronous
     label propagation (graph.label_propagation): fixed 3 rounds,
@@ -5130,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["simhash_estimate_error"] = _q_simhash_estimate_error
     all_q["graph_ktruss"] = _q_graph_ktruss
     all_q["graph_scc"] = _q_graph_scc
+    all_q["kmeans_clusters"] = _q_kmeans_clusters
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

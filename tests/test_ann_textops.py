@@ -275,3 +275,79 @@ class TestArrowBackend:
         tiny = {(r.cell, r.b, r.cos) for r in _semdedup_pairs_arrow(asg, 0.35, "vec_id", block=7).collect()}
         asg.unpersist()
         assert big == tiny and len(big) > 0
+
+
+class TestKMeans:
+    """cluster.kmeans_assignments vs a pure-Python replay of the same
+    quantized Lloyd contract (micro-unit vectors, integral-mean
+    centroids, integer squared-L2 costs, lowest-cid ties)."""
+
+    @staticmethod
+    def _ref(vectors, k, iters):
+        def q(v):
+            import math
+            return [int(math.floor(x * 1_000_000 + 0.5)) + 2_000_000 for x in v]
+
+        xq = {i: q(v) for i, v in enumerate(vectors)}
+        cents = {c: list(xq[c]) for c in range(k)}
+
+        def assign():
+            out = {}
+            for i, v in xq.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+                    for c in range(k)
+                )
+                out[i] = best  # (cost, cid)
+            return out
+
+        for _ in range(iters):
+            a = assign()
+            members = {}
+            for i, (_, c) in a.items():
+                members.setdefault(c, []).append(xq[i])
+            for c in range(k):
+                if c in members:
+                    n = len(members[c])
+                    cents[c] = [
+                        sum(col) // n for col in zip(*members[c])
+                    ]
+        return assign(), cents
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from ffp_spark.cluster import kmeans_assignments
+
+        rng = random.Random(42)
+        vecs = [[rng.uniform(-0.5, 0.5) for _ in range(6)] for _ in range(40)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        want, _ = self._ref(vecs, k=3, iters=2)
+        got = {
+            r.vec_id: (r.cost, r.cid)
+            for r in kmeans_assignments(df, k=3, iters=2).collect()
+        }
+        assert got == want
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from ffp_spark.cluster import kmeans_assignments
+
+        # centroid 2 (vec_id 2, far at 0.9) captures only itself; after
+        # iteration 1 every point sits nearer centroids 0/1, cluster 2
+        # keeps its centroid and stays a singleton — the carry-forward
+        # rule both engines pin
+        vecs = [[0.0, 0.0], [0.1, 0.1], [0.9, 0.9], [0.05, 0.0], [0.0, 0.05]]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        want, _ = self._ref(vecs, k=3, iters=2)
+        got = {
+            r.vec_id: (r.cost, r.cid)
+            for r in kmeans_assignments(df, k=3, iters=2).collect()
+        }
+        assert got == want
+        assert sorted(c for _, c in got.values()) == [0, 0, 0, 1, 2]
