@@ -2440,6 +2440,45 @@ FROM af GROUP BY cid ORDER BY cid
 _ORACLE_ONLY["kmeans_clusters"] = _kmeans_oracle()
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global keep-first paragraph dedup
+    (textops.paragraph_dedup_stats): only the corpus-wide FIRST
+    occurrence (lowest (doc_id, pos)) of each 2-word chunk type
+    survives; per-source retention in exact integral micro-units.
+    Spark finds first occurrences with a chunk-keyed min(struct) agg +
+    join-back (no corpus-wide window sort); the oracle uses the
+    equivalent row_number formulation."""
+    from ffp_spark.textops import paragraph_dedup_stats
+
+    _t(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(spark.table("documents"), width=2).orderBy(
+        "source"
+    )
+
+
+_ORACLE_ONLY["paragraph_dedup"] = """
+WITH ch AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(ws) - 1, 2)) AS pos,
+         unnest(list_transform(generate_series(1, len(ws) - 1, 2),
+                i -> array_to_string(ws[i:i+1], ' '))) AS chunk
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+k AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM ch
+)
+SELECT source,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST((sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         AS retained_micro
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-order graph via synchronous
     label propagation (graph.label_propagation): fixed 3 rounds,
@@ -5208,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_ktruss"] = _q_graph_ktruss
     all_q["graph_scc"] = _q_graph_scc
     all_q["kmeans_clusters"] = _q_kmeans_clusters
+    all_q["paragraph_dedup"] = _q_paragraph_dedup
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -343,3 +343,68 @@ def bpe_token_counts(docs: DataFrame, seqs: DataFrame, text_col: str = "text") -
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_words"), F.sum("n_sub").alias("n_subword_tokens"))
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    width: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-global keep-first paragraph dedup (the C4/RefinedWeb
+    sub-document primitive): chop each doc into non-overlapping
+    ``width``-word chunks, keep ONLY the corpus-wide first occurrence
+    of each chunk type (first = lowest (doc_id, position)), and report
+    per-``group_col`` retention.
+
+    Returns (group, n_paras, n_kept, retained_micro) — retained_micro
+    is integral-division exact.  Scale shape: the first-occurrence set
+    is one chunk-keyed min(struct(doc_id, pos)) aggregation
+    (map-side-combinable) joined back into the chunk stream on the
+    same key — no window sort over the corpus; both shuffles share the
+    chunk-hash partitioning.  Width 2 because the synthetic vocabulary
+    is ~30 words (real pipelines hash whole lines; the plan shape is
+    identical).
+    """
+    w = int(width)
+    ch = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+        )
+        .where(F.size("ws") >= w)  # sequence(1, 0) would yield [1, 0]
+        .select(
+            "doc_id",
+            "grp",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {w - 1}, {w}),"
+                    f" i -> struct(i AS pos,"
+                    f" array_join(slice(ws, i, {w}), ' ') AS chunk))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "grp", "c.pos", "c.chunk")
+    )
+    first = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    flagged = ch.join(first, "chunk").select(
+        "grp",
+        (
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("pos") == F.col("f.pos"))
+        ).cast("long").alias("kept"),
+    )
+    return (
+        flagged.groupBy("grp")
+        .agg(F.count("*").alias("n_paras"), F.sum("kept").alias("n_kept"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_paras",
+            "n_kept",
+            F.expr("(n_kept * 1000000) div n_paras").alias("retained_micro"),
+        )
+    )

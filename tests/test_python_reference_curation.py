@@ -326,3 +326,30 @@ class TestEntityResolution:
                 s[2] += int(best == name)
         want = [(n, *per[n]) for n in sorted(per)]
         assert _run(spark, "entity_resolution") == want
+
+
+class TestParagraphDedup:
+    def test_matches_python_reference(self, spark):
+        # corpus-global keep-first: a chunk occurrence survives iff no
+        # occurrence with a smaller (doc_id, 1-based word position)
+        first: dict[str, tuple[int, int]] = {}
+        occ = []
+        for doc_id, text, source in sorted(_docs()):
+            ws = text.lower().split(" ")
+            if len(ws) < 2:
+                continue
+            for pos in range(1, len(ws) - 1 + 1, 2):
+                c = " ".join(ws[pos - 1 : pos + 1])
+                occ.append((source, doc_id, pos, c))
+                if c not in first:
+                    first[c] = (doc_id, pos)
+        per: dict[str, list[int]] = {}
+        for source, doc_id, pos, c in occ:
+            per.setdefault(source, [0, 0])
+            per[source][0] += 1
+            per[source][1] += first[c] == (doc_id, pos)
+        want = [
+            (s, n, k, (k * 1_000_000) // n)
+            for s, (n, k) in sorted(per.items())
+        ]
+        assert _run(spark, "paragraph_dedup") == want
