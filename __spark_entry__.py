@@ -2363,6 +2363,91 @@ LIMIT 20
 """
 
 
+def _q_linkpred_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling over the part co-order
+    graph (graph.negative_edge_samples): per node, 8 hash-addressed
+    candidate picks from V/32 hash buckets, known edges and self
+    dropped, top-2 survivors by a second md5 rank — the contrastive
+    non-edges a link-prediction trainer consumes, NO RNG so DuckDB
+    replays every pick exactly."""
+    from ffp_spark.graph import negative_edge_samples
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    return (
+        negative_edge_samples(edges, n_cand=8, top_k=2)
+        .select("node", "neg", F.col("rank").cast("long").alias("rank"))
+        .orderBy("node", "rank")
+        .limit(50)
+    )
+
+
+_ORACLE_ONLY["linkpred_negatives"] = """
+WITH e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+nodes AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+nb AS (SELECT greatest(1, count(*) // 32) AS b FROM nodes),
+pop AS (
+  SELECT node AS v,
+         CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT)
+           % (SELECT b FROM nb) AS bk
+  FROM nodes
+),
+cand AS (
+  SELECT node AS u, js.j,
+         CAST(('0x' || substr(md5('neg#' || CAST(node AS VARCHAR) || '#'
+                                  || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT)
+           % (SELECT b FROM nb) AS bk
+  FROM nodes CROSS JOIN (SELECT unnest(range(1, 9)) AS j) js
+),
+pk AS (
+  SELECT u, j, v,
+         row_number() OVER (
+           PARTITION BY u, j
+           ORDER BY CAST(('0x' || substr(md5('neg#' || CAST(u AS VARCHAR) || '#'
+                          || CAST(j AS VARCHAR) || '#' || CAST(v AS VARCHAR)),
+                          1, 15)) AS BIGINT), v
+         ) AS rn
+  FROM cand JOIN pop USING (bk)
+  WHERE v <> u
+),
+picked AS (SELECT DISTINCT u, v FROM pk WHERE rn = 1),
+nonedge AS (
+  SELECT u, v FROM picked p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e0
+    WHERE e0.a = least(p.u, p.v) AND e0.b = greatest(p.u, p.v)
+  )
+),
+ranked AS (
+  SELECT u, v,
+         row_number() OVER (
+           PARTITION BY u
+           ORDER BY CAST(('0x' || substr(md5('neg|' || CAST(u AS VARCHAR) || '|'
+                          || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT), v
+         ) AS rank
+  FROM nonedge
+)
+SELECT u AS node, v AS neg, rank
+FROM ranked WHERE rank <= 2
+ORDER BY node, rank
+LIMIT 50
+"""
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings table (cluster.kmeans_assignments):
     k=4, 2 Lloyd iterations, init = the 4 lowest-id vectors, EVERY
@@ -5248,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_scc"] = _q_graph_scc
     all_q["kmeans_clusters"] = _q_kmeans_clusters
     all_q["paragraph_dedup"] = _q_paragraph_dedup
+    all_q["linkpred_negatives"] = _q_linkpred_negatives
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

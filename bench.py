@@ -138,6 +138,14 @@ def main() -> None:
         "graph_neighborhood_hll",
         "graph_harmonic_centrality",
         "graph_effective_diameter",
+        # round-5 continuation (3 queries: graph_ktruss, graph_scc,
+        # paragraph_dedup) — totals NOT line-comparable to earlier
+        # BENCH_r05 runs; per-query rows are.  kmeans_clusters is
+        # excluded: the embeddings table is fixed at 500 rows, so its
+        # scale evidence lives in bench/kmeans_stress.py instead
+        "graph_ktruss",
+        "graph_scc",
+        "paragraph_dedup",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

@@ -104,11 +104,35 @@ def main() -> None:
         out.append(r)
         print(json.dumps(r), flush=True)
 
+    # paragraph keep-first dedup (K73) — a DataFrame query, not shared
+    # SQL: the claim under stress is the PLAN, min(struct) agg +
+    # join-back with NO corpus-wide window sort
+    from ffp_spark.textops import paragraph_dedup_stats
+
+    pd_df = paragraph_dedup_stats(docs, width=2).orderBy("source")
+    t0 = time.perf_counter()
+    pd_rows = pd_df.collect()
+    pd_rec = {
+        "query": "paragraph_dedup",
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "n_rows": len(pd_rows),
+        "n_docs": n,
+        "cpus": cpus,
+        "kept_total": sum(int(r.n_kept) for r in pd_rows),
+        "paras_total": sum(int(r.n_paras) for r in pd_rows),
+    }
+    pd_plan = pd_df._jdf.queryExecution().executedPlan().toString()
+    pd_rec["partial_agg"] = "partial" in pd_plan.lower()
+    pd_rec["window_sort"] = "Window" in pd_plan
+    out.append(pd_rec)
+    print(json.dumps(pd_rec), flush=True)
+
     # shape assertions — fail loudly so a silent plan regression can't
     # masquerade as a slow box
     dec = out[0]
     assert dec["broadcast_join"] and not dec["sort_merge_join"], dec
     assert all(r["partial_agg"] for r in out), out
+    assert not pd_rec["window_sort"], pd_rec  # keep-first is agg+join, not a window
     spark.stop()
 
 

@@ -20,10 +20,16 @@ register explosion is the stress: E_directed x 64 rows shuffle per
 round), link_prediction with the hub-degree cap (wedge fan-out under
 skew), modularity over the LPA labels.
 
+Round-5 continuation (section "r5b"): ktruss_edges (per-round triangle
+re-enumeration is the stress — 3 peels = 3 oriented wedge joins over
+the surviving edge set) and scc (directed graph, two run-to-convergence
+min-label propagations per outer round; the skewed graph's giant SCC
+settles in round 1, the tail in round 2).
+
 Usage:  python bench/graph_stress.py [n_edges_pr] [n_edges_tri] [cpus] [section]
-section: all (default) | base | r5.  Prints one JSON line with walls
-and result fingerprints.  Pin with taskset -c 0-(cpus-1) for scaling
-claims (local[N] caps task slots, not CPU).
+section: all (default) | base | r5 | r5b.  Prints one JSON line with
+walls and result fingerprints.  Pin with taskset -c 0-(cpus-1) for
+scaling claims (local[N] caps task slots, not CPU).
 """
 
 from __future__ import annotations
@@ -143,6 +149,56 @@ def main() -> None:
         out["modularity_communities"] = int(mod.n_communities)
 
     if section == "r5":
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if section in ("all", "r5b"):
+        from ffp_spark.graph import ktruss_edges, scc
+
+        e5b = make_edges(
+            spark, n_tri, n_nodes=100_000, hot_nodes=1_000, hot_pct=10
+        ).localCheckpoint(eager=True)
+
+        # k-truss: 3 peel rounds, each re-running the oriented triangle
+        # enumeration on the surviving edges — the per-round wedge join
+        # is the whole cost.  A uniform random digraph's truss peels to
+        # EMPTY (too few overlapping triangles), so plant a 300-node
+        # clique: the stress is the real use case — extract the dense
+        # community from 2M edges of noise, fingerprint = the planted
+        # clique's edge set surviving exactly
+        n_cl = 300
+        cl = spark.range(n_cl).select(F.col("id").alias("i")).crossJoin(
+            spark.range(n_cl).select(F.col("id").alias("j"))
+        ).where(F.col("i") < F.col("j")).select(
+            F.concat(F.lit("n"), F.col("i").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("j").cast("string")).alias("dst"),
+        )
+        e_tr = e5b.unionByName(cl).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        truss = ktruss_edges(e_tr, k=10, rounds=3)
+        n_truss = truss.count()
+        fp = truss.agg(
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            )
+        ).collect()[0][0]
+        out["ktruss_sec"] = round(time.perf_counter() - t0, 2)
+        out["ktruss_edges_out"] = int(n_truss)
+        out["ktruss_fingerprint"] = int(fp)
+
+        # SCC on the DIRECTED skewed graph (edges as generated, no
+        # symmetrization): the hot set pulls almost everything into one
+        # giant component that settles in outer round 1
+        t0 = time.perf_counter()
+        comp = scc(e5b)
+        sizes = comp.groupBy("scc_id").agg(F.count("*").alias("sz"))
+        top = sizes.orderBy(F.desc("sz"), "scc_id").limit(1).collect()[0]
+        out["scc_sec"] = round(time.perf_counter() - t0, 2)
+        out["scc_n_components"] = sizes.count()
+        out["scc_biggest"] = int(top.sz)
+
+    if section == "r5b":
         print(json.dumps(out))
         spark.stop()
         return

@@ -416,6 +416,98 @@ def ktruss_edges(
     return e
 
 
+def negative_edge_samples(
+    edges: DataFrame,
+    n_cand: int = 8,
+    top_k: int = 3,
+    bucket_factor: int = 32,
+    seed: str = "neg",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic negative-edge sampling (the non-edges a link
+    prediction / node2vec trainer contrasts against): for each node u,
+    ``n_cand`` hash-addressed candidate picks, known edges and self
+    filtered out, the ``top_k`` survivors ranked by a second hash.
+
+    NO RNG: candidate j of node u lands in hash bucket
+    md5(seed|u|j) mod B and picks that bucket's member minimizing
+    md5(seed|u|j|v) — a pseudo-random pick that replays exactly on any
+    engine.  B = V/bucket_factor buckets keeps the candidate join
+    fan-out at ~bucket_factor rows per (u, j) — no global index, no
+    V^2 anywhere; the only V-scan is one distinct + one count.
+    Returns (node, neg, rank) with rank 1..top_k by the rank hash.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    n_buckets = max(1, n_nodes // bucket_factor)
+
+    def _h15(col):
+        # cast-to-string first: node ids may be numeric, and the digits
+        # render identically to DuckDB's CAST(x AS VARCHAR)
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    pop = nodes.select(
+        F.col("node").alias("v"), (_h15(F.col("node")) % n_buckets).alias("bk")
+    )
+    cand = nodes.select(
+        F.col("node").alias("u"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_cand))).alias("j"),
+    ).select(
+        "u",
+        "j",
+        (
+            _h15(F.concat_ws("#", F.lit(seed), "u", "j")) % n_buckets
+        ).alias("bk"),
+    )
+    picked = (
+        cand.join(pop, "bk")
+        .where(F.col("v") != F.col("u"))
+        .groupBy("u", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    _h15(F.concat_ws("#", F.lit(seed), "u", "j", "v")).alias("h"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("p")
+        )
+        .select("u", F.col("p.v").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    non_edges = picked.join(
+        und,
+        (F.least("u", "v") == F.col("a")) & (F.greatest("u", "v") == F.col("b")),
+        "left_anti",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy(
+        _h15(F.concat_ws("|", F.lit(seed), "u", "v")), F.col("v")
+    )
+    return (
+        non_edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("u").alias("node"), F.col("v").alias("neg"), "rank")
+    )
+
+
 def _min_label_converged(
     edges: DataFrame, labels: DataFrame, max_rounds: int
 ) -> DataFrame:

@@ -423,6 +423,55 @@ def test_scc_matches_tarjan_on_random_digraphs(spark):
         assert got == want
 
 
+def _naive_negative_samples(pairs, n_cand, top_k, bucket_factor=32, seed="neg"):
+    """Reference replay of the md5 bucket/pick/rank arithmetic."""
+    import hashlib
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for p in und for n in p})
+    n_buckets = max(1, len(nodes) // bucket_factor)
+    buckets = {}
+    for v in nodes:
+        buckets.setdefault(h15(v) % n_buckets, []).append(v)
+    out = []
+    for u in nodes:
+        picked = set()
+        for j in range(1, n_cand + 1):
+            bk = h15(f"{seed}#{u}#{j}") % n_buckets
+            cands = [v for v in buckets.get(bk, []) if v != u]
+            if not cands:
+                continue
+            picked.add(min(cands, key=lambda v: (h15(f"{seed}#{u}#{j}#{v}"), v)))
+        survivors = [v for v in picked if tuple(sorted((u, v))) not in und]
+        survivors.sort(key=lambda v: (h15(f"{seed}|{u}|{v}"), v))
+        out.extend((u, v, r + 1) for r, v in enumerate(survivors[:top_k]))
+    return sorted(out)
+
+
+def test_negative_samples_match_md5_replay_and_avoid_edges(spark):
+    from ffp_spark.graph import negative_edge_samples
+
+    rng = random.Random(5)
+    pairs = [
+        (f"n{rng.randrange(40):02d}", f"n{rng.randrange(40):02d}")
+        for _ in range(90)
+    ]
+    # bucket_factor 4 -> ~10 buckets over ~40 nodes: picks actually vary
+    got = sorted(
+        (r.node, r.neg, r.rank)
+        for r in negative_edge_samples(
+            _edges(spark, pairs), n_cand=6, top_k=2, bucket_factor=4
+        ).collect()
+    )
+    want = _naive_negative_samples(pairs, n_cand=6, top_k=2, bucket_factor=4)
+    assert got == want and len(got) > 0
+    und = {tuple(sorted(p)) for p in pairs}
+    assert all(tuple(sorted((u, v))) not in und and u != v for u, v, _ in got)
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
