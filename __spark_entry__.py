@@ -2448,6 +2448,84 @@ LIMIT 50
 """
 
 
+def _q_unigram_tokenizer_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer over the corpus word
+    types (textops.unigram_token_stats): substring vocabulary with the
+    1e4-grid integer surprisal costs, exact integer Viterbi per word
+    (min (cost, n_tokens) encoded as one BIGINT).  Completes the
+    learned-tokenizer family beside bpe_merge_table /
+    bpe_token_counts_learned.  The DuckDB oracle unrolls the identical
+    DP as one CTE per position; like lm_quality_score, cross-engine
+    ln() exactness on the 1e4 grid is empirical, not structural
+    (disclosed — every other step is integer)."""
+    from ffp_spark.textops import unigram_token_stats
+
+    _t(spark, sf_dir, "documents")
+    return (
+        unigram_token_stats(spark.table("documents"))
+        .orderBy(F.desc("cost_q"), "word")
+        .limit(20)
+    )
+
+
+def _unigram_oracle(L: int = 4, W: int = 12, min_count: int = 2) -> str:
+    ctes = [f"""toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+wt AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM toks
+  WHERE length(word) BETWEEN 1 AND {W}
+  GROUP BY word
+),
+pairs AS MATERIALIZED (
+  SELECT word, t1.i AS i, t2.j AS j,
+         substr(word, t2.j + 1, t1.i - t2.j) AS piece
+  FROM wt, UNNEST(range(1, length(word) + 1)) AS t1(i),
+       UNNEST(range(greatest(0, t1.i - {L}), t1.i)) AS t2(j)
+),
+vc AS MATERIALIZED (
+  SELECT piece, CAST(sum(wt.n) AS BIGINT) AS cnt
+  FROM pairs JOIN wt USING (word)
+  GROUP BY piece
+  HAVING CAST(sum(wt.n) AS BIGINT) >= {min_count} OR length(piece) = 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vc),
+sc AS MATERIALIZED (
+  SELECT p.word, p.i, p.j,
+         (CAST(round(ln(CAST((SELECT t FROM tot) AS DOUBLE) / c.cnt) * 10000)
+               AS BIGINT) * 1024 + 1) AS enc
+  FROM pairs p JOIN vc c USING (piece)
+),
+d0 AS (SELECT word, CAST(0 AS BIGINT) AS best FROM wt)"""]
+    for i in range(1, W + 1):
+        branches = " UNION ALL ".join(
+            f"""SELECT sc.word, d{j}.best + sc.enc AS best
+  FROM sc JOIN d{j} USING (word) WHERE sc.i = {i} AND sc.j = {j}"""
+            for j in range(max(0, i - L), i)
+        )
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT word, min(best) AS best FROM ({branches}) GROUP BY word
+)""")
+    fin = " UNION ALL ".join(
+        f"SELECT d{i}.word, d{i}.best FROM d{i} "
+        f"JOIN wt ON wt.word = d{i}.word AND length(wt.word) = {i}"
+        for i in range(1, W + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+fin AS ({fin})
+SELECT wt.word, wt.n, fin.best // 1024 AS cost_q, fin.best % 1024 AS n_tokens
+FROM fin JOIN wt USING (word)
+ORDER BY cost_q DESC, word
+LIMIT 20
+"""
+    )
+
+
+_ORACLE_ONLY["unigram_tokenizer_costs"] = _unigram_oracle()
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings table (cluster.kmeans_assignments):
     k=4, 2 Lloyd iterations, init = the 4 lowest-id vectors, EVERY
@@ -5334,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["kmeans_clusters"] = _q_kmeans_clusters
     all_q["paragraph_dedup"] = _q_paragraph_dedup
     all_q["linkpred_negatives"] = _q_linkpred_negatives
+    all_q["unigram_tokenizer_costs"] = _q_unigram_tokenizer_costs
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

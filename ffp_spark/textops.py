@@ -408,3 +408,108 @@ def paragraph_dedup_stats(
             F.expr("(n_kept * 1000000) div n_paras").alias("retained_micro"),
         )
     )
+
+
+def unigram_token_stats(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    max_word_len: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer statistics (K75) —
+    the learned-tokenizer family beside BPE (bpe_train): vocabulary =
+    every <= ``max_piece_len``-char substring of the corpus word types
+    with occurrence-weighted count >= ``min_count`` (single chars kept
+    unconditionally so segmentation is always feasible), piece cost =
+    round(ln(total/cnt) * 1e4) BIGINT (the 1e4 surprisal grid
+    bigram_lm_surprisal uses — ln() exactness across engines is
+    empirical on that grid, disclosed), and per WORD TYPE the exact
+    integer Viterbi optimum: minimal (total cost, token count) in
+    lexicographic order, encoded as cost*1024 + ntokens so one integer
+    min is the whole DP state.
+
+    Returns (word, n, cost_q, n_tokens) per word type.  Scale shape:
+    everything is word-TYPE-sized after the first groupBy (bounded far
+    below the corpus); the DP is data-parallel per word — piece costs
+    ride a map column and the ``max_word_len`` DP steps unroll into
+    one codegen projection (no loop, no UDF).  Words longer than
+    ``max_word_len`` are excluded by contract on both engines.
+    """
+    L, W = int(max_piece_len), int(max_word_len)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+    )
+    wt = (
+        toks.where(
+            (F.length("word") >= 1) & (F.length("word") <= W)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        wt.select(
+            "word",
+            "n",
+            F.explode(F.expr("sequence(1, length(word))")).alias("i"),
+        )
+        .select(
+            "word",
+            "n",
+            "i",
+            F.explode(
+                F.expr(f"sequence(greatest(0, i - {L}), i - 1)")
+            ).alias("j"),
+        )
+        .select(
+            "word",
+            "n",
+            "i",
+            "j",
+            F.expr("substring(word, j + 1, i - j)").alias("piece"),
+        )
+    )
+    vocab = (
+        pairs.groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .where((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    )
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    cost = vocab.crossJoin(total).select(
+        "piece",
+        (
+            F.round(
+                F.log(F.col("t").cast("double") / F.col("cnt")) * 10000, 0
+            ).cast("long")
+            * 1024
+            + 1
+        ).alias("enc"),
+    )
+    sc = pairs.join(cost, "piece").select(
+        "word", (F.col("j") * 100 + F.col("i")).alias("k"), "enc"
+    )
+    m = sc.groupBy("word").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "enc"))).alias("m")
+    )
+    dp = wt.join(m, "word")
+    # unrolled Viterbi: b[i] = min over j of b[j] + enc(j, i); missing
+    # pieces surface as NULL from try_element_at and F.least skips them
+    b = [F.lit(0).cast("long")]
+    for i in range(1, W + 1):
+        cands = [
+            b[j] + F.try_element_at("m", F.lit(j * 100 + i))
+            for j in range(max(0, i - L), i)
+        ]
+        b.append(cands[0] if len(cands) == 1 else F.least(*cands))
+    best = F.element_at(F.array(*b[1:]), F.length("word").cast("int"))
+    return dp.select(
+        "word",
+        "n",
+        best.alias("_best"),
+    ).select(
+        "word",
+        "n",
+        F.expr("_best div 1024").alias("cost_q"),
+        (F.col("_best") % 1024).alias("n_tokens"),
+    )

@@ -353,3 +353,57 @@ class TestParagraphDedup:
             for s, (n, k) in sorted(per.items())
         ]
         assert _run(spark, "paragraph_dedup") == want
+
+
+class TestUnigramTokenizer:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        L, W, MIN = 4, 12, 2
+        wt = Counter()
+        for _, text, _ in _docs():
+            for w in text.lower().split(" "):
+                if 1 <= len(w) <= W:
+                    wt[w] += 1
+        cnt = Counter()
+        for w, n in wt.items():
+            for i in range(1, len(w) + 1):
+                for j in range(max(0, i - L), i):
+                    cnt[w[j:i]] += n
+        vocab = {p: c for p, c in cnt.items() if c >= MIN or len(p) == 1}
+        total = sum(vocab.values())
+        enc = {
+            p: int(math.floor(math.log(total / c) * 10000 + 0.5)) * 1024 + 1
+            for p, c in vocab.items()
+        }
+        rows = []
+        for w, n in wt.items():
+            best = [0] + [None] * len(w)
+            for i in range(1, len(w) + 1):
+                cands = [
+                    best[j] + enc[w[j:i]]
+                    for j in range(max(0, i - L), i)
+                    if best[j] is not None and w[j:i] in enc
+                ]
+                best[i] = min(cands) if cands else None
+            b = best[len(w)]
+            rows.append((w, n, b // 1024, b % 1024))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        assert _run(spark, "unigram_tokenizer_costs") == rows[:20]
+
+    def test_single_chars_always_segmentable(self, spark):
+        # a word whose every multi-char substring is corpus-unique must
+        # still segment (char fallback): build it synthetically
+        from ffp_spark.textops import unigram_token_stats
+
+        df = spark.createDataFrame(
+            [(0, "qzxv aa aa bb bb")], "doc_id long, text string"
+        )
+        got = {
+            r.word: (r.cost_q, r.n_tokens)
+            for r in unigram_token_stats(df).collect()
+        }
+        # qzxv: 4 single-char pieces, each count 1 (kept as chars)
+        assert got["qzxv"][1] == 4
+        # aa / bb: the 2-char piece (count 2 >= min) beats two chars
+        assert got["aa"][1] == 1 and got["bb"][1] == 1
