@@ -2448,6 +2448,70 @@ LIMIT 50
 """
 
 
+def _q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized integer-dot search (ann.int8_topk)
+    against the exact float cosine top-10 — extends the oracled
+    estimator-error contract (ann_recall_eval, K68/K69) to the
+    quantized-storage tier every production vector store runs.  Unlike
+    the ln()-grid queries this one is STRUCTURALLY exact cross-engine:
+    normalization and scale division are single IEEE ops, everything
+    after is integer."""
+    from ffp_spark.ann import cosine_topk, int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(
+        emb.filter("vec_id <> 0"), _query_vec(spark, sf_dir), k=10
+    ).select("vec_id")
+    top = int8_topk(emb, query_id=0, k=10).select("vec_id")
+    return top.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    ).select(
+        F.lit("int8").alias("method"),
+        "n_hits",
+        F.expr("(n_hits * 1000000) div 10").cast("long").alias("recall_ppm"),
+    )
+
+
+_ORACLE_ONLY["ann_int8_recall"] = """
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM e
+),
+el AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM n
+),
+sc AS MATERIALIZED (SELECT i, max(abs(x)) AS s FROM el GROUP BY i),
+q AS MATERIALIZED (
+  SELECT vec_id, i, CAST(round((x / s) * 127) AS BIGINT) AS qv
+  FROM el JOIN sc USING (i)
+),
+qd AS (
+  SELECT a.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON a.i = b.i AND b.vec_id = 0
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+),
+top AS (SELECT vec_id FROM qd ORDER BY dot_q DESC, vec_id LIMIT 10),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)))) AS c
+    FROM embeddings WHERE vec_id <> 0
+  ) t ORDER BY c DESC, vec_id LIMIT 10
+)
+SELECT 'int8' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((count(*) * 1000000) // 10 AS BIGINT) AS recall_ppm
+FROM top JOIN exact USING (vec_id)
+"""
+
+
 def _q_unigram_tokenizer_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer over the corpus word
     types (textops.unigram_token_stats): substring vocabulary with the
@@ -5413,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["paragraph_dedup"] = _q_paragraph_dedup
     all_q["linkpred_negatives"] = _q_linkpred_negatives
     all_q["unigram_tokenizer_costs"] = _q_unigram_tokenizer_costs
+    all_q["ann_int8_recall"] = _q_ann_int8_recall
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -382,3 +382,77 @@ def semdedup(
         F.count("*").alias("n_lower"),
         F.round(F.max("cos"), 4).alias("best_sim"),
     )
+
+
+def int8_quantize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the L2-NORMALIZED
+    corpus (K76) — the storage format production vector stores ship
+    (4x smaller than float32, integer SIMD dot products): nv = v/|v|,
+    scale_d = max_corpus |nv_d|, q_d = round((nv_d/scale_d)*127).
+
+    Fully structural cross-engine exactness: normalization and the
+    per-dim scale division are single IEEE ops on identical doubles
+    (exactly-rounded, engine-independent), everything after is integer.
+    The 64 scales are one posexplode + per-dim max (map-side
+    combinable), collected and inlined as a literal array so the
+    quantization itself is a zero-shuffle codegen map.
+
+    Returns (id, q: array<bigint> in [-127, 127]).
+    """
+    v = _as_double(vec_col)
+    normed = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            F.sqrt(_dot(v, v)).alias("nrm"),  # hoisted: transform lambdas re-evaluate per element
+        )
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("nv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scales = (
+        normed.select(F.posexplode("nv").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.max(F.abs("x")).alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    s_lit = F.array(*[F.lit(float(r.s)) for r in scales])
+    return normed.select(
+        "vec_id",
+        F.zip_with(
+            "nv", s_lit, lambda x, s: F.round((x / s) * 127, 0).cast("long")
+        ).alias("q"),
+    )
+
+
+def int8_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INTEGER dot product over the int8-quantized corpus
+    (scales computed over the full table including the query row, the
+    query then excluded from candidates).  Exact integer ordering with
+    id tiebreak — the recall vs the float cosine top-k is what
+    ann_int8_recall oracles."""
+    q = int8_quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
+    qrow = q.where(F.col("vec_id") == query_id).collect()[0]
+    q_lit = F.array(*[F.lit(int(x)) for x in qrow.q])
+    dot_q = F.aggregate(
+        F.zip_with("q", q_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.where(F.col("vec_id") != query_id)
+        .select("vec_id", dot_q.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(k)
+    )

@@ -351,3 +351,36 @@ class TestKMeans:
         }
         assert got == want
         assert sorted(c for _, c in got.values()) == [0, 0, 0, 1, 2]
+
+
+class TestInt8Quantization:
+    def test_quantize_bounds_and_numpy_replay(self, spark, emb):
+        import numpy as np
+
+        from ffp_spark.ann import int8_quantize, int8_topk
+
+        rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        V = np.array([r.embedding for r in rows], dtype=np.float64)
+        ids = np.array([r.vec_id for r in rows])
+        nv = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
+        s = np.abs(nv).max(axis=0)
+        q = np.floor(np.abs(nv / s) * 127 + 0.5) * np.sign(nv)  # half away from zero
+        got = {r.vec_id: list(r.q) for r in int8_quantize(
+            spark.read.parquet(f"{SF}/embeddings.parquet")).collect()}
+        want = {int(i): [int(x) for x in row] for i, row in zip(ids, q)}
+        assert got == want
+        flat = np.array([v for row in got.values() for v in row])
+        assert flat.min() >= -127 and flat.max() <= 127
+        assert (np.abs(flat) == 127).sum() >= 64  # every dim's max attains 127
+
+        # integer-dot top-10 replay
+        qm = {i: np.array(v, dtype=np.int64) for i, v in want.items()}
+        q0 = qm[0]
+        dots = sorted(
+            ((int(qm[i] @ q0), -i) for i in qm if i != 0), reverse=True
+        )[:10]
+        want_top = [(-mi, d) for d, mi in dots]
+        got_top = [(r.vec_id, r.dot_q) for r in int8_topk(
+            spark.read.parquet(f"{SF}/embeddings.parquet"), query_id=0, k=10
+        ).collect()]
+        assert got_top == want_top
