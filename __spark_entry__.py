@@ -2448,6 +2448,57 @@ LIMIT 50
 """
 
 
+def _q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog fold (snapshots.compact_changelog): the events
+    table read as an entity changelog keyed by user_id, ordered by
+    (ts, event_id), 'error' as the tombstone op — one
+    map-side-combinable max(struct) per key, no window sort.  Output:
+    per (alive, last event type) entity counts + the compacted rows'
+    value sum in exact cents."""
+    from ffp_spark.snapshots import compact_changelog
+
+    _t(spark, sf_dir, "events")
+    state = compact_changelog(
+        spark.table("events"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        tombstone_ops=("error",),
+    )
+    return (
+        state.groupBy("alive", F.col("event_type").alias("last_event_type"))
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("alive", "last_event_type")
+    )
+
+
+_ORACLE_ONLY["changelog_compaction"] = """
+WITH latest AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+state AS (
+  SELECT user_id, event_type, value,
+         event_type <> 'error' AS alive
+  FROM latest WHERE rn = 1
+)
+SELECT alive, event_type AS last_event_type,
+       count(*) AS n_entities,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM state
+GROUP BY alive, event_type
+ORDER BY alive, last_event_type
+"""
+
+
 def _q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of int8-quantized integer-dot search (ann.int8_topk)
     against the exact float cosine top-10 — extends the oracled
@@ -5478,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["linkpred_negatives"] = _q_linkpred_negatives
     all_q["unigram_tokenizer_costs"] = _q_unigram_tokenizer_costs
     all_q["ann_int8_recall"] = _q_ann_int8_recall
+    all_q["changelog_compaction"] = _q_changelog_compaction
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -296,3 +296,41 @@ def remaining_pages(
         return pages_with_part
     done = lineage.filter(F.col("status") == "done").select("part_id").distinct()
     return pages_with_part.join(done, "part_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# changelog compaction (K77): fold an event changelog into current state
+# ---------------------------------------------------------------------------
+
+def compact_changelog(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    tombstone_ops: tuple[str, ...] = ("delete",),
+) -> DataFrame:
+    """Latest-op-wins compaction of a CDC/upsert changelog — the fold
+    that turns an event-sourced entity log into current KG state
+    (inserts/updates keep the newest row, a trailing tombstone marks
+    the entity dead without losing its last attributes).
+
+    One shuffle: max(struct(order_cols..., all payload)) per key — the
+    map-side-combinable plan, deliberately NOT a row_number window
+    (no per-key sort materialization; partial max reduces each
+    partition to one candidate row per key before the exchange).
+    ``order_cols`` must be totally ordering (e.g. ts + a unique id).
+    Returns one row per key: key_cols + payload of the winning row +
+    ``alive`` (false iff the last op is a tombstone).
+    """
+    payload = [c for c in changelog.columns if c not in key_cols]
+    ordered = order_cols + [c for c in payload if c not in order_cols]
+    latest = changelog.groupBy(*key_cols).agg(
+        F.max(F.struct(*ordered)).alias("_l")
+    )
+    out = latest.select(
+        *key_cols,
+        *[F.col(f"_l.{c}").alias(c) for c in payload],
+    )
+    return out.withColumn(
+        "alive", ~F.col(op_col).isin(*tombstone_ops)
+    )

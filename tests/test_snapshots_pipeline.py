@@ -200,3 +200,41 @@ class TestPipeline:
         ta = read_snapshot(spark, tmp_path / "a", "triples")
         tb = read_snapshot(spark, tmp_path / "b", "triples")
         assert ta.exceptAll(tb).isEmpty() and tb.exceptAll(ta).isEmpty()
+
+
+def test_compact_changelog_latest_wins_and_tombstones(spark):
+    from ffp_spark.snapshots import compact_changelog
+
+    log = spark.createDataFrame(
+        [
+            # entity 1: insert -> update (update wins)
+            # entity 2: update -> delete (dead, last attrs kept)
+            # entity 3: insert AFTER the tombstone (resurrected)
+            # entity 4: same ts, higher event_id wins (total order)
+            (1, 100, 0, "insert", 10.0),
+            (1, 200, 1, "update", 20.0),
+            (2, 100, 2, "update", 5.0),
+            (2, 300, 3, "delete", 0.0),
+            (3, 100, 4, "delete", 0.0),
+            (3, 150, 5, "insert", 7.0),
+            (4, 100, 6, "update", 1.0),
+            (4, 100, 7, "update", 2.0),
+        ],
+        "user_id long, ts long, event_id long, event_type string, value double",
+    )
+    got = {
+        r.user_id: (r.event_type, r.value, r.alive)
+        for r in compact_changelog(
+            log,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            op_col="event_type",
+            tombstone_ops=("delete",),
+        ).collect()
+    }
+    assert got == {
+        1: ("update", 20.0, True),
+        2: ("delete", 0.0, False),
+        3: ("insert", 7.0, True),
+        4: ("update", 2.0, True),
+    }
