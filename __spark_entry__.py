@@ -2448,6 +2448,68 @@ LIMIT 50
 """
 
 
+def _q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability from customer c1
+    over the trade graph with o_orderdate as the interaction time
+    (graph.temporal_earliest_arrival): an edge is traversable only at
+    t >= the arrival time at its source — plain BFS overcounts by
+    running causality backwards.  4 rounds, dates as integral
+    yyyyMMdd; the oracle unrolls identical rounds."""
+    from ffp_spark.graph import temporal_earliest_arrival
+
+    _t(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql("""
+        WITH cs AS (
+          SELECT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s,
+                 CAST(date_format(o_orderdate, 'yyyyMMdd') AS BIGINT) AS t
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2, 3
+        )
+        SELECT c AS src, s AS dst, t FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst, t FROM cs
+    """)
+    sources = spark.createDataFrame([("c1",)], "node string")
+    return (
+        temporal_earliest_arrival(edges, sources, rounds=4)
+        .orderBy("ea", "node")
+        .limit(20)
+    )
+
+
+def _temporal_reach_oracle(rounds: int = 4) -> str:
+    ctes = ["""e AS MATERIALIZED (
+  WITH cs AS (
+    SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS t
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3
+  )
+  SELECT c AS src, s AS dst, t FROM cs
+  UNION ALL
+  SELECT s AS src, c AS dst, t FROM cs
+),
+a0 AS (SELECT 'c1' AS node, CAST(0 AS BIGINT) AS ea)"""]
+    for r in range(rounds):
+        ctes.append(f"""a{r + 1} AS MATERIALIZED (
+  SELECT node, min(ea) AS ea FROM (
+    SELECT node, ea FROM a{r}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS ea
+    FROM e JOIN a{r} ON e.src = a{r}.node AND e.t >= a{r}.ea
+  ) GROUP BY node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, ea FROM a{rounds} ORDER BY ea, node LIMIT 20
+"""
+    )
+
+
+_ORACLE_ONLY["temporal_reachability"] = _temporal_reach_oracle()
+
+
 def _q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog fold (snapshots.compact_changelog): the events
     table read as an entity changelog keyed by user_id, ordered by
@@ -5530,6 +5592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["unigram_tokenizer_costs"] = _q_unigram_tokenizer_costs
     all_q["ann_int8_recall"] = _q_ann_int8_recall
     all_q["changelog_compaction"] = _q_changelog_compaction
+    all_q["temporal_reachability"] = _q_temporal_reachability
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

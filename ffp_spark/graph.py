@@ -941,6 +941,61 @@ def sssp(
     return dist
 
 
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "t",
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability (K78): over a
+    temporal graph (src, dst, t), a path may leave a node only at a
+    time >= its arrival there — the reachability that matters on
+    event/interaction graphs, where plain BFS overcounts by running
+    causality backwards.
+
+    Returns (node, ea) for every node reachable within ``rounds``
+    hops; sources arrive at time 0.  Same fixed-round contract as
+    sssp: the after-r-rounds object is deterministic and the DuckDB
+    oracle unrolls the identical rounds.  Per round one join
+    (E cached/partitioned once, arrival state V-sized) with the
+    t >= ea(src) causality filter + one min-agg — map-side
+    combinable, O(rounds) barriers, never all-pairs.  ``ts`` must be
+    an integral column (epoch days/seconds — cast upstream).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(ts).cast("long").alias("t"),
+        )
+        .dropDuplicates(["src", "dst", "t"])
+        .repartition("src")
+        .cache()
+    )
+    ea = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("ea", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(ea, e.src == ea.node)
+            .where(F.col("t") >= F.col("ea"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("ea"))
+        )
+        ea = (
+            ea.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("ea").alias("ea"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ea
+
+
 AA_SCALE = 10**4  # Adamic-Adar weight unit: round(1e4/ln(d)) per DEGREE
 # TYPE, summed as exact integers — the same type-level quantization
 # that keeps bigram_lm_surprisal / dsir cross-engine exact (a 1-ulp

@@ -472,6 +472,40 @@ def test_negative_samples_match_md5_replay_and_avoid_edges(spark):
     assert all(tuple(sorted((u, v))) not in und and u != v for u, v, _ in got)
 
 
+def _naive_earliest_arrival(triples, source, rounds):
+    ea = {source: 0}
+    for _ in range(rounds):
+        new = dict(ea)
+        for u, v, t in triples:
+            if u in ea and t >= ea[u] and t < new.get(v, float("inf")):
+                new[v] = t
+        ea = new
+    return ea
+
+
+def test_temporal_reachability_respects_causality(spark):
+    from ffp_spark.graph import temporal_earliest_arrival
+
+    # a->b at t=5, b->c at t=3 (BEFORE arrival at b): c unreachable;
+    # b->d at t=7 works; a->e at t=2 then e->c at t=3 reaches c at 3
+    triples = [("a", "b", 5), ("b", "c", 3), ("b", "d", 7),
+               ("a", "e", 2), ("e", "c", 3)]
+    e = spark.createDataFrame(triples, "src string, dst string, t long")
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.ea for r in temporal_earliest_arrival(e, src, rounds=4).collect()}
+    assert got == {"a": 0, "b": 5, "d": 7, "e": 2, "c": 3}
+
+    rng = random.Random(9)
+    rt = [
+        (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}", rng.randrange(1, 30))
+        for _ in range(60)
+    ]
+    e2 = spark.createDataFrame(rt, "src string, dst string, t long")
+    src2 = spark.createDataFrame([("n0",)], "node string")
+    got2 = {r.node: r.ea for r in temporal_earliest_arrival(e2, src2, rounds=5).collect()}
+    assert got2 == _naive_earliest_arrival(rt, "n0", rounds=5)
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
