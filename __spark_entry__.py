@@ -2448,6 +2448,89 @@ LIMIT 50
 """
 
 
+def _q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set over the part
+    co-order graph (graph.maximal_independent_set): md5 priorities
+    replace the coin flips, winners beat every active neighbor on
+    (priority, id), winners + neighbors deactivate, 4 rounds; DuckDB
+    unrolls the identical rounds.  Output: first 20 MIS members + the
+    total."""
+    from ffp_spark.graph import maximal_independent_set
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    mis = maximal_independent_set(edges, rounds=4).localCheckpoint(eager=True)
+    return (
+        mis.crossJoin(mis.agg(F.count("*").alias("n_mis")))
+        .orderBy("node")
+        .limit(20)
+        .select("node", "n_mis")
+    )
+
+
+def _mis_oracle(rounds: int = 4, seed: str = "mis") -> str:
+    ctes = ["""e0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  cs AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM ls a JOIN ls b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+  )
+  SELECT a AS u, b AS v FROM cs UNION ALL SELECT b, a FROM cs
+),
+act0 AS (SELECT DISTINCT u AS node FROM e0)"""]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS (
+  SELECT node,
+         CAST(('0x' || substr(md5('{seed}#{r}#' || CAST(node AS VARCHAR)), 1, 15))
+              AS BIGINT) AS p
+  FROM act{r}
+),
+nm{r} AS (
+  SELECT e.v AS node, min(ROW(p.p, p.node)) AS m
+  FROM e{r} e JOIN p{r} p ON e.u = p.node
+  GROUP BY e.v
+),
+w{r} AS (
+  SELECT p.node FROM p{r} p LEFT JOIN nm{r} n ON p.node = n.node
+  WHERE n.node IS NULL OR ROW(p.p, p.node) < n.m
+),
+rm{r} AS (
+  SELECT node FROM w{r}
+  UNION
+  SELECT e.v FROM e{r} e JOIN w{r} w ON e.u = w.node
+),
+act{r + 1} AS MATERIALIZED (
+  SELECT node FROM act{r} WHERE node NOT IN (SELECT node FROM rm{r})
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN act{r + 1} x ON e.u = x.node
+  JOIN act{r + 1} y ON e.v = y.node
+)""")
+    allw = " UNION ALL ".join(f"SELECT node FROM w{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+allw AS ({allw})
+SELECT node, (SELECT count(*) FROM allw) AS n_mis
+FROM allw ORDER BY node LIMIT 20
+"""
+    )
+
+
+_ORACLE_ONLY["graph_mis"] = _mis_oracle()
+
+
 def _q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Earliest-arrival TIME-RESPECTING reachability from customer c1
     over the trade graph with o_orderdate as the interaction time
@@ -5593,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["ann_int8_recall"] = _q_ann_int8_recall
     all_q["changelog_compaction"] = _q_changelog_compaction
     all_q["temporal_reachability"] = _q_temporal_reachability
+    all_q["graph_mis"] = _q_graph_mis
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

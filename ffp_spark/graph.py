@@ -941,6 +941,93 @@ def sssp(
     return dist
 
 
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 4,
+    seed: str = "mis",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic Luby MIS (K79): the parallel maximal-independent-
+    set algorithm with md5 priorities standing in for Luby's coin flips
+    — conflict-free node selection (scheduling, one-per-neighborhood
+    dedup) that replays exactly on any engine.
+
+    Per round r: every ACTIVE node whose (md5(seed#r#v), v) beats all
+    active neighbors' joins the MIS; winners AND their neighbors
+    deactivate; isolated actives win unconditionally.  Fixed round
+    count (the DuckDB oracle unrolls the same rounds; Luby converges
+    in O(log n) rounds whp, so pick rounds accordingly — leftovers
+    after r rounds are a well-defined deterministic object).  Per
+    round: one V-sized priority projection, one neighbor min-agg
+    (map-side combinable), two semi/anti joins; adjacency
+    checkpointed per round (O(1) lineage).  Returns (node,) — the MIS
+    members found within ``rounds``.
+    """
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    adj = (
+        adj.unionByName(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    active = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    mis = active.limit(0)  # empty, same node type as the graph's ids
+    for r in range(rounds):
+        if active.isEmpty():
+            break
+        pr = active.select(
+            "node",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(seed), F.lit(str(r)), "node")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("p"),
+        ).localCheckpoint(eager=True)
+        nbr_min = (
+            adj.join(pr.withColumnRenamed("node", "u"), "u")
+            .select("v", F.struct("p", F.col("u").alias("node")).alias("c"))
+            .groupBy("v")
+            .agg(F.min("c").alias("m"))
+        )
+        winners = (
+            pr.join(nbr_min, pr.node == nbr_min.v, "left")
+            .where(
+                F.col("m").isNull()
+                | (F.struct("p", "node") < F.col("m"))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        removed = winners.unionByName(
+            adj.join(winners.withColumnRenamed("node", "u"), "u").select(
+                F.col("v").alias("node")
+            )
+        ).distinct()
+        active = active.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(active.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(active.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return mis
+
+
 def temporal_earliest_arrival(
     edges: DataFrame,
     sources: DataFrame,

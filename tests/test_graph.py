@@ -506,6 +506,58 @@ def test_temporal_reachability_respects_causality(spark):
     assert got2 == _naive_earliest_arrival(rt, "n0", rounds=5)
 
 
+def _naive_luby_mis(pairs, rounds, seed="mis"):
+    import hashlib
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    mis = set()
+    for r in range(rounds):
+        pri = {v: (h15(f"{seed}#{r}#{v}"), v) for v in active}
+        winners = {
+            v
+            for v in active
+            if all(pri[v] < pri[u] for u in adj[v] if u in active)
+        }
+        mis |= winners
+        removed = set(winners)
+        for w in winners:
+            removed |= adj[w] & active
+        active -= removed
+    return mis
+
+
+def test_mis_is_independent_maximal_and_matches_luby_replay(spark):
+    from ffp_spark.graph import maximal_independent_set
+
+    rng = random.Random(13)
+    pairs = [
+        (f"n{rng.randrange(25):02d}", f"n{rng.randrange(25):02d}")
+        for _ in range(60)
+    ]
+    got = {r.node for r in maximal_independent_set(_edges(spark, pairs), rounds=6).collect()}
+    assert got == _naive_luby_mis(pairs, rounds=6)
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    # independent: no MIS edge
+    assert not any(tuple(sorted(e)) in und for e in
+                   [(a, b) for a in got for b in got if a < b])
+    # maximal: every non-member has a MIS neighbor (6 rounds converged
+    # on this graph: nothing active remains unclassified)
+    nodes = {n for p in und for n in p}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(n in got or (adj[n] & got) for n in nodes)
+
+
 def test_cached_repartition_join_shuffles_only_small_side(spark):
     """The pagerank shape: edges repartition('src').cache() must keep
     hashpartitioning visible so a later join on src shuffles ONLY the
