@@ -2448,6 +2448,58 @@ LIMIT 50
 """
 
 
+def _q_setsim_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 1/2 over word
+    3-gram shingle sets (textops.setsim_join_half, the AllPairs/PPJoin
+    family): prefix filtering exposes only each doc's rarest
+    (sz div 2)+1 shingles to the candidate join; the integer predicate
+    3*inter >= ua+ub needs no float threshold.  The oracle is the
+    INDEPENDENT naive plan — every co-occurring pair, no prefix filter
+    — so the filter's losslessness is value-checked, not assumed."""
+    from ffp_spark.textops import setsim_join_half
+
+    _t(spark, sf_dir, "documents")
+    shingles = spark.sql("""
+        WITH toks AS (
+          SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
+        )
+        SELECT doc_id,
+               array_join(slice(ws, i, 3), ' ') AS tok
+        FROM toks
+        LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i
+        WHERE size(ws) >= 3
+    """)
+    return (
+        setsim_join_half(shingles)
+        .orderBy(F.desc("jac_ppm"), "a", "b")
+        .limit(50)
+    )
+
+
+_ORACLE_ONLY["setsim_join_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS tok
+  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS u FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM grams a JOIN grams b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, i AS inter, sa.u AS ua, sb.u AS ub,
+       (1000000 * i) // (sa.u + sb.u - i) AS jac_ppm
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE 3 * i >= sa.u + sb.u
+ORDER BY jac_ppm DESC, a, b
+LIMIT 50
+"""
+
+
 def _q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set over the part
     co-order graph (graph.maximal_independent_set): md5 priorities
@@ -5677,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["changelog_compaction"] = _q_changelog_compaction
     all_q["temporal_reachability"] = _q_temporal_reachability
     all_q["graph_mis"] = _q_graph_mis
+    all_q["setsim_join_pairs"] = _q_setsim_join_pairs
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -513,3 +513,76 @@ def unigram_token_stats(
         F.expr("_best div 1024").alias("cost_q"),
         (F.col("_best") % 1024).alias("n_tokens"),
     )
+
+
+def setsim_join_half(tokens: DataFrame) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard >= 1/2 with PREFIX
+    FILTERING (K80, the AllPairs/PPJoin family) over a (doc_id, tok)
+    SET table (rows distinct per doc — shingles, tokens, features):
+    unlike the MinHash/SimHash tiers this returns the EXACT qualifying
+    pairs, and unlike the naive token self-join it never enumerates
+    every co-occurring pair — each doc only exposes its
+    |d| - ceil(|d|/2) + 1 RAREST tokens (global (df, token) order),
+    and the prefix-filter theorem guarantees any pair with
+    Jaccard >= 1/2 shares a prefix token.
+
+    Entirely integer: at t = 1/2 the prefix length is
+    (|d| div 2) + 1 and the qualifying predicate is
+    3*|A∩B| >= |A| + |B| — no float threshold anywhere.
+
+    Returns (a, b, inter, ua, ub, jac_ppm) for qualifying pairs.
+    Scale shape: token df is vocabulary-sized; prefixes join on the
+    RARE tokens (bounded fan-out exactly where a naive join explodes
+    on hot tokens); the verification join touches candidate pairs
+    only.
+    """
+    # toks feeds five consumers (sizes, df, prefix, both verification
+    # sides) — materialize the set once
+    toks = (
+        tokens.select("doc_id", "tok")
+        .dropDuplicates(["doc_id", "tok"])
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_rank = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(df_rank, "tok").join(sizes, "doc_id")
+    # the (df, tok) TOTAL order is applied per doc — no global
+    # vocabulary ranking window, just a doc-keyed row_number
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")
+    )
+    prefix = ranked.withColumn("pos", pos).where(
+        F.col("pos") <= F.expr("(sz div 2) + 1")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "tok")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("ua"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("ub"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(F.expr("3 * inter >= ua + ub"))
+        .select(
+            "a",
+            "b",
+            "inter",
+            "ua",
+            "ub",
+            F.expr("(1000000 * inter) div (ua + ub - inter)").alias("jac_ppm"),
+        )
+    )

@@ -384,3 +384,48 @@ class TestInt8Quantization:
             spark.read.parquet(f"{SF}/embeddings.parquet"), query_id=0, k=10
         ).collect()]
         assert got_top == want_top
+
+
+class TestSetSimJoin:
+    def test_matches_bruteforce_and_prefix_loses_nothing(self, spark):
+        import random
+
+        from ffp_spark.textops import setsim_join_half
+
+        rng = random.Random(21)
+        # 30 docs over a 12-token universe, set sizes 3..8 — dense
+        # enough that many pairs clear Jaccard >= 1/2
+        rows = []
+        for d in range(30):
+            ts = rng.sample([f"t{i}" for i in range(12)], rng.randrange(3, 9))
+            rows.extend((d, t) for t in ts)
+        toks = spark.createDataFrame(rows, "doc_id long, tok string")
+        sets = {}
+        for d, t in rows:
+            sets.setdefault(d, set()).add(t)
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    i = len(sets[a] & sets[b])
+                    ua, ub = len(sets[a]), len(sets[b])
+                    if 3 * i >= ua + ub:
+                        want.add(
+                            (a, b, i, ua, ub, (1_000_000 * i) // (ua + ub - i))
+                        )
+        got = {
+            (r.a, r.b, r.inter, r.ua, r.ub, r.jac_ppm)
+            for r in setsim_join_half(toks).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_disjoint_and_identical_sets(self, spark):
+        from ffp_spark.textops import setsim_join_half
+
+        toks = spark.createDataFrame(
+            [(0, "x"), (0, "y"), (1, "x"), (1, "y"),   # identical pair
+             (2, "p"), (2, "q"), (3, "r"), (3, "s")],  # disjoint pair
+            "doc_id long, tok string",
+        )
+        got = [(r.a, r.b, r.jac_ppm) for r in setsim_join_half(toks).collect()]
+        assert got == [(0, 1, 1_000_000)]
