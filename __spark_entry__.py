@@ -1811,6 +1811,112 @@ ORDER BY fmt
 """
 
 
+def _q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end, value-oracled: 16x16
+    grayscale gradient PNGs (pixel = ((doc_id%32)*8 + y*16 + x) % 256)
+    are built from doc_id arithmetic, decoded FOR REAL (zlib inflate +
+    unfilter), average-hashed (multimodal.ahash64_halves: 2x2 block
+    means -> 8x8 grid -> threshold vs floor-mean, all integer) inside
+    the Arrow batch — pixels never shuffle, only the 2x32-bit hash —
+    and grouped into perceptual duplicate classes.  DuckDB replays
+    pixel generation AND the hash as pure integer arithmetic (lossless
+    codec, so decode == generation)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ffp_spark import mediacodec as mc
+    from ffp_spark.multimodal import MEDIA_SCHEMA, ahash64_halves, decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        out_schema = to_arrow_schema(MEDIA_SCHEMA)
+        for batch in batches:
+            rows = []
+            for doc_id in batch.column("doc_id").to_pylist():
+                d = int(doc_id)
+                y, x = np.mgrid[0:16, 0:16]
+                v = (((d % 32) * 8 + y * 16 + x) % 256).astype(np.uint8)
+                img = np.stack([v, v, v], axis=-1)
+                rows.append(
+                    {"media_id": f"png:{d}", "kind": "image",
+                     "payload": mc.png_encode(img),
+                     "mime": None, "duration_ms": None}
+                )
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    hash_schema = StructType(
+        [
+            StructField("ahash_hi", LongType(), False),
+            StructField("ahash_lo", LongType(), False),
+        ]
+    )
+
+    def feats(batches):
+        import numpy as np
+
+        out_schema = to_arrow_schema(hash_schema)
+        for batch in batches:
+            rows = []
+            for w, h, px in zip(
+                batch.column("width").to_pylist(),
+                batch.column("height").to_pylist(),
+                batch.column("pixels").to_pylist(),
+            ):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    int(h), int(w), 3
+                )
+                gray = arr.astype(np.int64).sum(axis=2) // 3
+                hi, lo = ahash64_halves(gray)
+                rows.append({"ahash_hi": hi, "ahash_lo": lo})
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    decoded = decode_images(docs.mapInArrow(gen, schema=MEDIA_SCHEMA))
+    per_image = decoded.mapInArrow(feats, schema=hash_schema)
+    return (
+        per_image.groupBy("ahash_hi", "ahash_lo")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "ahash_hi", "ahash_lo")
+        .limit(20)
+    )
+
+
+_ORACLE_ONLY["media_ahash_dedup"] = """
+WITH px AS (
+  SELECT doc_id, ys.y, xs.x,
+         ((doc_id % 32) * 8 + ys.y * 16 + xs.x) % 256 AS v
+  FROM documents,
+       (SELECT unnest(range(16)) AS y) ys,
+       (SELECT unnest(range(16)) AS x) xs
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS by, x // 2 AS bx,
+         CAST(sum(v) // 4 AS BIGINT) AS bv
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+m AS (SELECT doc_id, CAST(sum(bv) // 64 AS BIGINT) AS mean FROM blocks GROUP BY doc_id),
+h AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN bv >= mean AND by*8+bx >= 32
+                       THEN (CAST(1 AS BIGINT) << (by*8+bx-32)) ELSE 0 END) AS BIGINT)
+           AS ahash_hi,
+         CAST(sum(CASE WHEN bv >= mean AND by*8+bx < 32
+                       THEN (CAST(1 AS BIGINT) << (by*8+bx)) ELSE 0 END) AS BIGINT)
+           AS ahash_lo
+  FROM blocks b JOIN m USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT ahash_hi, ahash_lo, count(*) AS n
+FROM h GROUP BY ahash_hi, ahash_lo
+ORDER BY n DESC, ahash_hi, ahash_lo
+LIMIT 20
+"""
+
+
 _ORACLE_ONLY["media_mime_counts"] = """
 SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
        WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
@@ -5730,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["temporal_reachability"] = _q_temporal_reachability
     all_q["graph_mis"] = _q_graph_mis
     all_q["setsim_join_pairs"] = _q_setsim_join_pairs
+    all_q["media_ahash_dedup"] = _q_media_ahash_dedup
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -539,3 +539,29 @@ def synth_media_rows(n: int, seed: int = 42) -> list[dict]:
             }
         )
     return rows
+
+
+def ahash64_halves(gray) -> tuple[int, int]:
+    """Perceptual average-hash of a grayscale image whose sides are
+    multiples of 8 (K81): block-average down to 8x8 (integral floor
+    division), threshold each block against the floor-mean of the 64
+    block values, bit index = by*8 + bx.  Returned as (hi, lo) 32-bit
+    halves — bit 63 of a single BIGINT cannot round-trip through
+    engines that reject 1<<63 (DuckDB), and the Hamming arithmetic
+    downstream works on the halves unchanged.
+
+    All-integer: bit-identical wherever the pixel bytes are.
+    """
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if h % 8 or w % 8:
+        raise ValueError("ahash64_halves needs sides divisible by 8")
+    bh, bw = h // 8, w // 8
+    blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+    mean = int(blocks.sum()) // 64
+    bits = (blocks >= mean).astype(np.int64).ravel()  # index = by*8 + bx
+    lo = int(sum(int(b) << i for i, b in enumerate(bits[:32])))
+    hi = int(sum(int(b) << i for i, b in enumerate(bits[32:])))
+    return hi, lo

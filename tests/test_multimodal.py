@@ -585,3 +585,41 @@ class TestCorruptMediaDegradesGracefully:
         filled = plain[:2] + b"\xff\xff\xff" + plain[2:]
         assert mc.jpeg_dims(plain) == (111, 222)
         assert mc.jpeg_dims(filled) == (111, 222)
+
+
+class TestAHash:
+    def test_halves_roundtrip_and_block_semantics(self):
+        import numpy as np
+
+        from ffp_spark.multimodal import ahash64_halves
+
+        # top-half dark, bottom-half bright: bits = rows 4..7 of the 8x8
+        # grid -> lo (indices 0..31) all zero, hi all ones
+        g = np.zeros((16, 16), dtype=np.int64)
+        g[8:, :] = 200
+        hi, lo = ahash64_halves(g)
+        assert (hi, lo) == (0xFFFFFFFF, 0)
+        # constant image: every block equals the mean -> all bits set
+        assert ahash64_halves(np.full((16, 16), 7)) == (0xFFFFFFFF, 0xFFFFFFFF)
+        # sides not divisible by 8 refuse loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ahash64_halves(np.zeros((15, 16)))
+
+    def test_near_duplicate_gradients_have_small_hamming(self):
+        import numpy as np
+
+        from ffp_spark.multimodal import ahash64_halves
+
+        y, x = np.mgrid[0:16, 0:16]
+        base = (y * 16 + x) % 256
+        h0 = ahash64_halves(base)
+        h1 = ahash64_halves((base + 4) % 256)      # tiny brightness shift
+        rnd = ahash64_halves((y * 131 + x * 29) % 256)  # different structure
+
+        def ham(a, b):
+            return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+        assert ham(h0, h1) <= 8          # perceptual near-dup stays close
+        assert ham(h0, rnd) > ham(h0, h1)  # and closer than a reshuffle
