@@ -1811,6 +1811,56 @@ ORDER BY fmt
 """
 
 
+def _q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source connector end-to-end (sources.read_warc): the
+    documents table is serialized into 4 deterministic .warc.gz shards
+    (one gzip member per record, CommonCrawl layout; fixture synthesis
+    is driver-side — the OPERATOR under test is the distributed read),
+    re-ingested via binaryFile + mapInArrow record split, and reduced
+    to per-shard record counts, payload bytes, and an md5-derived
+    payload checksum — byte-exact round-trip is value-checked, not
+    assumed.  DuckDB replays everything from the text column
+    (octet_length + md5, modulo-summed to stay in BIGINT)."""
+    import tempfile
+    from pathlib import Path
+
+    from ffp_spark.sources import read_warc, warc_file_bytes
+
+    _t(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    base = Path(tempfile.mkdtemp(prefix="ffp_warc_q_"))
+    shards: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        shards[r.doc_id % 4].append(
+            ("response", f"https://feed-{r.doc_id}.example/", r.text.encode())
+        )
+    for s, recs in shards.items():
+        (base / f"w{s}.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    rows = read_warc(spark, str(base / "*.warc.gz"))
+    h15 = F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long")
+    return (
+        rows.groupBy("file")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("content_length").alias("bytes_total"),
+            F.sum(h15 % 1000000007).alias("payload_check"),
+        )
+        .orderBy("file")
+    )
+
+
+_ORACLE_ONLY["warc_ingest_stats"] = """
+SELECT 'w' || (doc_id % 4) || '.warc.gz' AS file,
+       count(*) AS n_records,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000007)
+            AS BIGINT) AS payload_check
+FROM documents
+GROUP BY 1
+ORDER BY file
+"""
+
+
 def _q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end, value-oracled: 16x16
     grayscale gradient PNGs (pixel = ((doc_id%32)*8 + y*16 + x) % 256)
@@ -5837,6 +5887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_mis"] = _q_graph_mis
     all_q["setsim_join_pairs"] = _q_setsim_join_pairs
     all_q["media_ahash_dedup"] = _q_media_ahash_dedup
+    all_q["warc_ingest_stats"] = _q_warc_ingest_stats
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
