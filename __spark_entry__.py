@@ -1811,6 +1811,65 @@ ORDER BY fmt
 """
 
 
+def _q_robots_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filter end-to-end (robots.parse_robots +
+    robots_allowed): each source hosts a synthesized robots.txt —
+    even-indexed sources lock '*' down entirely but carve an exception
+    group for our agent (Disallow /private, Allow /private/2), odd
+    sources disallow /private for everyone — and every doc with
+    doc_id%5==0 lives under /private.  Evaluated as agent 'ffpbot':
+    exact-group precedence, longest-match, and the prefix semantics
+    all land in the per-source allow/block counts the DuckDB oracle
+    replays arithmetically."""
+    from ffp_spark.robots import parse_robots, robots_allowed
+
+    _t(spark, sf_dir, "documents")
+    urls = spark.sql("""
+        SELECT source,
+               concat('https://', source, '.example',
+                      CASE WHEN doc_id % 5 = 0
+                           THEN concat('/private/', doc_id)
+                           ELSE concat('/doc/', doc_id) END) AS url
+        FROM documents
+    """)
+    robots = spark.sql("""
+        SELECT DISTINCT source,
+               concat(source, '.example') AS host,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN
+                 'User-agent: *\nDisallow: /\n\nUser-agent: ffpbot\nDisallow: /private\nAllow: /private/2'
+               ELSE
+                 'User-agent: *\nDisallow: /private'
+               END AS body
+        FROM documents
+    """)
+    rules = parse_robots(robots)
+    out = robots_allowed(urls, rules, "ffpbot")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+            F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_ONLY["robots_policy_counts"] = """
+SELECT source,
+       CAST(sum(CASE WHEN doc_id % 5 <> 0
+                       OR (CAST(substr(source, 4) AS INT) % 2 = 0
+                           AND CAST(doc_id AS VARCHAR) LIKE '2%')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN doc_id % 5 = 0
+                      AND NOT (CAST(substr(source, 4) AS INT) % 2 = 0
+                               AND CAST(doc_id AS VARCHAR) LIKE '2%')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source connector end-to-end (sources.read_warc): the
     documents table is serialized into 4 deterministic .warc.gz shards
@@ -5888,6 +5947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["setsim_join_pairs"] = _q_setsim_join_pairs
     all_q["media_ahash_dedup"] = _q_media_ahash_dedup
     all_q["warc_ingest_stats"] = _q_warc_ingest_stats
+    all_q["robots_policy_counts"] = _q_robots_policy_counts
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
