@@ -1811,6 +1811,56 @@ ORDER BY fmt
 """
 
 
+def _q_graph_contract_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-graph contraction (graph.contract_graph): the
+    customer->supplier trade graph collapses onto nations (the
+    host-graph construction pattern: page graph -> host graph), edge
+    weight = number of distinct c->s relationships landing on the
+    nation pair, self-loops dropped.  Top 20 nation-pair super-edges;
+    mapping joins broadcast (nation-sized dimension)."""
+    from ffp_spark.graph import contract_graph
+
+    _t(spark, sf_dir, "orders", "lineitem", "customer", "supplier", "nation")
+    edges = spark.sql("""
+        SELECT DISTINCT concat('c', o_custkey) AS src,
+                        concat('s', l_suppkey) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """)
+    mapping = spark.sql("""
+        SELECT concat('c', c_custkey) AS node, n_name AS grp
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT concat('s', s_suppkey) AS node, n_name AS grp
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """)
+    return (
+        contract_graph(edges, F.broadcast(mapping))
+        .orderBy(F.desc("weight"), "src", "dst")
+        .limit(20)
+    )
+
+
+_ORACLE_ONLY["graph_contract_nations"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+g AS (
+  SELECT nc.n_name AS src, ns.n_name AS dst
+  FROM e
+  JOIN customer ON c_custkey = e.c
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN supplier ON s_suppkey = e.s
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE nc.n_name <> ns.n_name
+)
+SELECT src, dst, count(*) AS weight
+FROM g GROUP BY src, dst
+ORDER BY weight DESC, src, dst
+LIMIT 20
+"""
+
+
 def _q_robots_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy filter end-to-end (robots.parse_robots +
     robots_allowed): each source hosts a synthesized robots.txt —
@@ -5948,6 +5998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["media_ahash_dedup"] = _q_media_ahash_dedup
     all_q["warc_ingest_stats"] = _q_warc_ingest_stats
     all_q["robots_policy_counts"] = _q_robots_policy_counts
+    all_q["graph_contract_nations"] = _q_graph_contract_nations
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -416,6 +416,40 @@ def ktruss_edges(
     return e
 
 
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    keep_self_loops: bool = False,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Quotient-graph contraction (K83): map every node through
+    (node -> grp) and merge parallel edges into weighted super-edges —
+    how a page-level web graph becomes the host-level graph (the
+    CommonCrawl host-webgraph product), or an entity graph becomes its
+    community graph after LPA.
+
+    Returns (src, dst, weight) over groups; weight = number of
+    original edges collapsing onto the super-edge; self-loops drop
+    unless ``keep_self_loops``.  Plan: two mapping joins (the mapping
+    is node-sized but usually broadcastable when it is a dimension
+    like host or nation — pass a broadcast() mapping to pin it) + one
+    (src, dst)-keyed count with map-side partial aggregation.  Nodes
+    missing from the mapping drop with their edges (inner joins) —
+    the contract callers rely on.
+    """
+    ms = mapping.select(F.col("node").alias(src), F.col("grp").alias("_gs"))
+    md = mapping.select(F.col("node").alias(dst), F.col("grp").alias("_gd"))
+    out = (
+        edges.join(ms, src)
+        .join(md, dst)
+        .select(F.col("_gs").alias("src"), F.col("_gd").alias("dst"))
+    )
+    if not keep_self_loops:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
 def negative_edge_samples(
     edges: DataFrame,
     n_cand: int = 8,

@@ -1087,3 +1087,22 @@ def test_neighborhood_hll_tracks_exact_ball_sizes(spark):
         exact = exact_ball(v)
         # linear counting on n <= 5 of m = 64 registers is near-exact
         assert abs(got[str(v)] - exact) / exact < 0.15, (v, got[str(v)], exact)
+
+
+def test_contract_graph_merges_weights_and_handles_self_loops(spark):
+    from ffp_spark.graph import contract_graph
+
+    e = _edges(spark, [("a1", "b1"), ("a2", "b1"), ("a1", "b2"),
+                       ("a1", "a2"),            # intra-group -> self-loop
+                       ("a1", "zz")])           # unmapped dst -> dropped
+    m = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "node string, grp string",
+    )
+    got = {(r.src, r.dst): r.weight for r in contract_graph(e, m).collect()}
+    assert got == {("A", "B"): 3}
+    with_loops = {
+        (r.src, r.dst): r.weight
+        for r in contract_graph(e, m, keep_self_loops=True).collect()
+    }
+    assert with_loops == {("A", "B"): 3, ("A", "A"): 1}
