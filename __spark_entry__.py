@@ -1811,6 +1811,57 @@ ORDER BY fmt
 """
 
 
+def _q_changelog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals over the events changelog
+    (snapshots.changelog_history): every event opens a version valid
+    until the same user's next event — the temporal-table primitive
+    behind "state as of t".  Durations aggregate in epoch-ms BIGINTs
+    (the event-time dtype contract); one open (valid_to NULL) version
+    per user by construction."""
+    from ffp_spark.snapshots import changelog_history
+
+    _t(spark, sf_dir, "events")
+    hist = changelog_history(
+        spark.table("events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return (
+        hist.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(F.col("valid_to").isNull().cast("long")).alias("n_open"),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    # events.ts is TIMESTAMP_NTZ; the UTC session makes
+                    # the cast an identity and unix_millis applicable
+                    F.unix_millis(F.col("valid_to").cast("timestamp"))
+                    - F.unix_millis(F.col("valid_from").cast("timestamp")),
+                ).otherwise(F.lit(0))
+            ).alias("dur_ms_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_ONLY["changelog_history"] = """
+WITH h AS (
+  SELECT event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_versions,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_ms(valid_to) - epoch_ms(valid_from)
+                     ELSE 0 END) AS BIGINT) AS dur_ms_total
+FROM h GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_graph_contract_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quotient-graph contraction (graph.contract_graph): the
     customer->supplier trade graph collapses onto nations (the
@@ -5999,6 +6050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["warc_ingest_stats"] = _q_warc_ingest_stats
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
+    all_q["changelog_history"] = _q_changelog_history
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -334,3 +334,33 @@ def compact_changelog(
     return out.withColumn(
         "alive", ~F.col(op_col).isin(*tombstone_ops)
     )
+
+
+def changelog_history(
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD-2 history intervals from the same changelog
+    :func:`compact_changelog` folds (K84): every event opens a version
+    valid from its timestamp until the key's next event — the
+    time-travel / temporal-table primitive ("state as of t" = the row
+    whose [valid_from, valid_to) contains t; the latest row has
+    valid_to NULL and equals compact_changelog's winner).
+
+    One key-partitioned window (lead over order_cols) — the per-key
+    sort is the honest cost of producing ORDERED version chains, and
+    it shuffles once on the same key a consumer's as-of join probes.
+    ``order_cols`` defaults to [ts_col]; pass ts + a unique id when
+    timestamps can tie.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return changelog.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )

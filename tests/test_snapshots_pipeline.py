@@ -238,3 +238,29 @@ def test_compact_changelog_latest_wins_and_tombstones(spark):
         3: ("insert", 7.0, True),
         4: ("update", 2.0, True),
     }
+
+
+def test_changelog_history_intervals_chain_per_key(spark):
+    from ffp_spark.snapshots import changelog_history
+
+    log = spark.createDataFrame(
+        [
+            (1, 100, 0, "insert"), (1, 250, 1, "update"), (1, 400, 2, "update"),
+            (2, 130, 3, "insert"),
+        ],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    got = {
+        (r.user_id, r.ts): (r.valid_from, r.valid_to)
+        for r in changelog_history(
+            log, key_cols=["user_id"], ts_col="ts", order_cols=["ts", "event_id"]
+        ).collect()
+    }
+    # intervals chain: each version closes at the key's next event;
+    # exactly one open version per key
+    assert got == {
+        (1, 100): (100, 250),
+        (1, 250): (250, 400),
+        (1, 400): (400, None),
+        (2, 130): (130, None),
+    }
