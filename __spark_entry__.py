@@ -1811,6 +1811,80 @@ ORDER BY fmt
 """
 
 
+def _q_bloom_membership_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with the MEASURED false-positive count
+    as an oracled value (sketches.bloom_build/bloom_probe): the filter
+    is built over the eval-set urls (doc_id % 7 == 0, m=1024 bits,
+    k=4 — sized so FPs actually occur at both gate sfs), every doc url
+    probes it, and the exact membership join grades the sketch.
+    One-sided error is part of the contract: n_missed_true must be 0.
+    Deterministic md5 bits, so DuckDB replays the filter AND every
+    false positive exactly."""
+    from ffp_spark.sketches import bloom_build, bloom_probe
+
+    _t(spark, sf_dir, "documents")
+    urls = spark.sql("""
+        SELECT concat('https://feed-', doc_id, '.example/') AS key,
+               (doc_id % 7 = 0) AS is_true
+        FROM documents
+    """)
+    bloom = bloom_build(urls.where("is_true").select("key"))
+    probed = bloom_probe(urls, bloom)
+    return probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum(F.col("maybe_present").cast("long")).alias("n_bloom_hits"),
+        F.sum(
+            (F.col("maybe_present") & ~F.col("is_true")).cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (~F.col("maybe_present") & F.col("is_true")).cast("long")
+        ).alias("n_missed_true"),
+    )
+
+
+_ORACLE_ONLY["bloom_membership_fpr"] = """
+WITH urls AS (
+  SELECT 'https://feed-' || doc_id || '.example/' AS key,
+         (doc_id % 7 = 0) AS is_true
+  FROM documents
+),
+jpos AS (
+  SELECT key, is_true, js.j,
+         CAST(('0x' || substr(md5(key || '#' || CAST(js.j AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1024 AS pos
+  FROM urls CROSS JOIN (SELECT unnest(range(4)) AS j) js
+),
+pos AS (
+  SELECT key, is_true, j, pos // 32 AS word, pos % 32 AS bit FROM jpos
+),
+bloom AS (
+  SELECT word, bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS bits
+  FROM pos WHERE is_true GROUP BY word
+),
+hits AS (
+  SELECT p.key, p.is_true,
+         CASE WHEN COALESCE((b.bits & (CAST(1 AS BIGINT) << CAST(p.bit AS INT))) <> 0,
+                            FALSE)
+              THEN 1 ELSE 0 END AS hit
+  FROM pos p LEFT JOIN bloom b ON p.word = b.word
+),
+verdict AS (
+  SELECT key, max(CASE WHEN is_true THEN 1 ELSE 0 END) = 1 AS is_true,
+         sum(hit) = 4 AS maybe_present
+  FROM hits GROUP BY key
+)
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN maybe_present AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CASE WHEN NOT maybe_present AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missed_true
+FROM verdict
+"""
+
+
 def _q_changelog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 validity intervals over the events changelog
     (snapshots.changelog_history): every event opens a version valid
@@ -6051,6 +6125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history
+    all_q["bloom_membership_fpr"] = _q_bloom_membership_fpr
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
