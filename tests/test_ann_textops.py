@@ -429,3 +429,42 @@ class TestSetSimJoin:
         )
         got = [(r.a, r.b, r.jac_ppm) for r in setsim_join_half(toks).collect()]
         assert got == [(0, 1, 1_000_000)]
+
+    def test_prefix_filter_lossless_property(self, spark):
+        """Property: for ANY set family, prefix filtering loses no
+        qualifying pair (the Bayardo/Chaudhuri theorem the operator
+        rests on) — hypothesis drives the set shapes."""
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from ffp_spark.textops import setsim_join_half
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            st.lists(
+                st.sets(st.integers(0, 9), min_size=1, max_size=6),
+                min_size=2,
+                max_size=12,
+            )
+        )
+        def check(fam):
+            rows = [
+                (d, f"t{t}") for d, s in enumerate(fam) for t in s
+            ]
+            toks = spark.createDataFrame(rows, "doc_id long, tok string")
+            got = {
+                (r.a, r.b, r.inter)
+                for r in setsim_join_half(toks).collect()
+            }
+            want = set()
+            for a in range(len(fam)):
+                for b in range(a + 1, len(fam)):
+                    i = len(fam[a] & fam[b])
+                    if 3 * i >= len(fam[a]) + len(fam[b]):
+                        want.add((a, b, i))
+            assert got == want
+
+        check()
