@@ -5316,6 +5316,73 @@ _SPARK_DIALECT["hll_merge_by_type"] = _hll_merge_sql(
 )
 
 
+# HLL set-intersection estimate (K86): inclusion-exclusion over the
+# same 4096-register scheme, quantized to integer centi-units ONCE per
+# set so the A + B - A∪B arithmetic is exact integers; the EXACT
+# intersection cardinality ships beside with the signed error — the
+# set-algebra member of the estimator-error family (K68/K69,
+# ann_recall_eval, bloom_membership_fpr).  Sketch-only intersection is
+# the known-weakest HLL operation; that is the point of oracling its
+# error rather than claiming it.
+def _hll_inter_sql(h60: str, idiv: str, strty: str) -> str:
+    bitlen = "CASE " + " ".join(
+        f"WHEN (h {idiv} 64) < {1 << k} THEN {k}" for k in range(1, 55)
+    ) + " ELSE 55 END"
+    return f"""
+WITH ab AS (
+  -- set element = (user, props.k) pair: the per-type user sets
+  -- saturate the tiny user space (A = B = U, degenerate), the pair
+  -- sets genuinely differ between click and purchase
+  SELECT event_type,
+         user_id * 100 + CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+           AS item
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+dv AS (SELECT DISTINCT event_type, {h60} AS h
+       FROM (SELECT event_type, CAST(item AS {strty}) AS x FROM ab) t),
+rr AS (SELECT event_type, CAST(h % 64 AS BIGINT) AS bucket,
+              CAST(CASE WHEN (h {idiv} 64) = 0 THEN 55
+                        ELSE 55 - ({bitlen}) END AS BIGINT) AS rho
+       FROM dv),
+regs AS (SELECT event_type, bucket, max(rho) AS m FROM rr GROUP BY event_type, bucket),
+uni AS (SELECT 'UNION' AS event_type, bucket, max(m) AS m FROM regs GROUP BY bucket),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uni),
+s AS (SELECT event_type,
+             CAST(sum(CAST(pow(2, 55 - m) AS BIGINT)) AS BIGINT)
+               + CAST(64 - count(*) AS BIGINT) * {1 << 55} AS s_scaled
+      FROM allregs GROUP BY event_type),
+q AS (SELECT event_type,
+             CAST(round(CAST(0.709 AS DOUBLE) * 4096 * {1 << 55} * 100 / s_scaled)
+                  AS BIGINT) AS est_q
+      FROM s),
+ex AS (
+  SELECT count(*) AS n_exact FROM (
+    SELECT item FROM ab GROUP BY item
+    HAVING count(DISTINCT event_type) = 2
+  )
+)
+SELECT (SELECT est_q FROM q WHERE event_type = 'click') AS est_a_q,
+       (SELECT est_q FROM q WHERE event_type = 'purchase') AS est_b_q,
+       (SELECT est_q FROM q WHERE event_type = 'UNION') AS est_union_q,
+       (SELECT est_q FROM q WHERE event_type = 'click')
+         + (SELECT est_q FROM q WHERE event_type = 'purchase')
+         - (SELECT est_q FROM q WHERE event_type = 'UNION') AS est_inter_q,
+       CAST((SELECT n_exact FROM ex) AS BIGINT) AS n_exact,
+       (SELECT est_q FROM q WHERE event_type = 'click')
+         + (SELECT est_q FROM q WHERE event_type = 'purchase')
+         - (SELECT est_q FROM q WHERE event_type = 'UNION')
+         - CAST((SELECT n_exact FROM ex) AS BIGINT) * 100 AS err_q
+"""
+
+
+_SQL_QUERIES["hll_intersection_estimate"] = _hll_inter_sql(
+    "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)", "//", "VARCHAR"
+)
+_SPARK_DIALECT["hll_intersection_estimate"] = _hll_inter_sql(
+    "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)", "div", "STRING"
+)
+
+
 _SWC_COUNTER = [0]  # memory-sink names must be unique per call, no RNG
 
 
