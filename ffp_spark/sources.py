@@ -8,12 +8,34 @@ That is exactly how production WARC pipelines shard 100 TB crawls; no
 record-level split index is needed because file count >> executor
 count at any realistic crawl size.
 
+Memory profile (the round-5 `weak`, fixed): the task holds the
+COMPRESSED file bytes (that is the binaryFile source's contract — ~1 GB
+for a CommonCrawl shard) plus a BOUNDED inflation window.  Gzip members
+decompress one at a time through a capped ``zlib.decompressobj`` window
+(never ``gzip.decompress`` of the whole stream), records parse
+incrementally out of a rolling buffer, and output leaves the task as
+bounded Arrow batches (``_BATCH_RECORDS`` rows / ``_BATCH_BYTES``
+payload bytes per batch) instead of one whole-file pylist.  Peak task
+heap is therefore O(compressed size + max record size + batch cap), not
+O(raw archive size) — 32 concurrent ~1 GB-shard tasks fit a
+128 GiB box with room to spare (measured: bench/warc_stress.py, row in
+SCALE.md).  The one remaining pathological case is a single 50 GB file
+(file-level parallelism serializes it); a gzip-member offset index
+would fix that and is deliberately out of scope (file count >> executor
+count in a real crawl).
+
+Error discipline (pipeline-wide invariant): malformed bytes NEVER fail
+the task.  Corrupt gzip members, non-numeric Content-Length, non-UTF8
+header bytes, truncated records and trailing garbage all become
+``rec_type='error'`` rows carrying the unparseable remainder.
+
 Format essentials implemented here (public WARC/1.1 spec, ISO 28500):
 records are "WARC/1.0\\r\\n" + header lines + CRLF CRLF + exactly
 Content-Length payload bytes + CRLF CRLF.  The .gz variant
-concatenates one gzip member per record (Python's gzip handles
-multi-member streams transparently, so whole-file decompress is
-correct).  The encoder exists so tests and queries can synthesize
+concatenates one gzip member per record (the CommonCrawl layout); the
+reader handles records spanning member boundaries and plain
+concatenated files equally, because the scanner is a pure byte-stream
+consumer.  The encoder exists so tests and queries can synthesize
 deterministic archives — byte-for-byte reproducible, no wall clock.
 """
 
@@ -21,7 +43,8 @@ from __future__ import annotations
 
 import gzip
 import io
-from typing import Iterable
+import zlib
+from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -33,6 +56,14 @@ from pyspark.sql.types import (
 )
 
 _CRLF = b"\r\n"
+
+# Bounded-emission knobs: a batch leaves the scanner when either trips.
+_BATCH_RECORDS = 256
+_BATCH_BYTES = 16 << 20
+# Compressed bytes fed to the decompressor per call / max inflated bytes
+# pulled back per call — together they cap the inflation window.
+_IN_CHUNK = 1 << 20
+_OUT_CAP = 4 << 20
 
 WARC_SCHEMA = StructType(
     [
@@ -78,54 +109,154 @@ def warc_file_bytes(
     return out.getvalue()
 
 
+def _error_rec(payload: bytes) -> dict:
+    return {
+        "rec_type": "error",
+        "target_uri": None,
+        "content_length": len(payload),
+        "payload": payload,
+    }
+
+
+class _RecordScanner:
+    """Incremental WARC record scanner: ``feed()`` byte chunks in any
+    framing, get back the records that completed; ``finish()`` flushes
+    the tail.  Uses the Content-Length header to jump payloads — never
+    scans payload bytes for record markers (payloads may contain
+    'WARC/1.0').  Once the stream stops looking like WARC (garbage
+    where a header should start, or a Content-Length that cannot be
+    parsed so the payload cannot be jumped) the scanner goes
+    *poisoned*: everything from that point becomes one error row at
+    ``finish()`` — the error-row discipline, incrementally."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._poisoned = False
+
+    def feed(self, chunk: bytes) -> list[dict]:
+        self._buf += chunk
+        return self._drain(final=False)
+
+    def finish(self) -> list[dict]:
+        out = self._drain(final=True)
+        if self._buf:
+            out.append(_error_rec(bytes(self._buf)))
+            self._buf.clear()
+        return out
+
+    def _drain(self, final: bool) -> list[dict]:
+        out: list[dict] = []
+        buf = self._buf
+        while not self._poisoned and buf:
+            if len(buf) < 5 and not final:
+                break  # could still be a partial record magic
+            if bytes(buf[:5]) != b"WARC/":
+                self._poisoned = True
+                break
+            hdr_end = buf.find(_CRLF + _CRLF)
+            if hdr_end < 0:
+                if final:
+                    self._poisoned = True  # header never completed
+                break
+            raw_pairs: list[tuple[bytes, bytes]] = []
+            clen_raw = b"0"
+            for line in bytes(buf[:hdr_end]).split(_CRLF)[1:]:
+                k, _, v = line.partition(b":")
+                k, v = k.strip().lower(), v.strip()
+                raw_pairs.append((k, v))
+                if k == b"content-length":
+                    clen_raw = v
+            if not clen_raw.isdigit():
+                self._poisoned = True  # cannot jump the payload safely
+                break
+            clen = int(clen_raw)
+            body_start = hdr_end + 4
+            rec_end = body_start + clen + 4  # payload + CRLF CRLF
+            if len(buf) < rec_end and not final:
+                break  # record incomplete; wait for more bytes
+            payload = bytes(buf[body_start:body_start + clen])
+            try:
+                headers = {k.decode(): v.decode() for k, v in raw_pairs}
+                out.append(
+                    {
+                        "rec_type": headers.get("warc-type"),
+                        "target_uri": headers.get("warc-target-uri"),
+                        "content_length": clen,
+                        "payload": payload,
+                    }
+                )
+            except UnicodeDecodeError:
+                # non-UTF8 header bytes: THIS record becomes an error
+                # row (its raw bytes), but the stream stays parseable —
+                # Content-Length was digits, so the jump is sound
+                out.append(_error_rec(bytes(buf[:min(rec_end, len(buf))])))
+            del buf[:min(rec_end, len(buf))]
+        return out
+
+
 def parse_warc_bytes(data: bytes) -> list[dict]:
-    """Split one (decompressed) WARC stream into records.  Uses the
-    Content-Length header to jump payloads — never scans payload bytes
-    for record markers (payloads may contain 'WARC/1.0').  Malformed
-    trailing garbage yields a final record with rec_type='error'
-    rather than an exception (error-row discipline, pipeline-wide)."""
-    out: list[dict] = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if data[pos:pos + 5] != b"WARC/":
-            out.append(
-                {"rec_type": "error", "target_uri": None,
-                 "content_length": n - pos, "payload": data[pos:]}
-            )
-            break
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end < 0:
-            out.append(
-                {"rec_type": "error", "target_uri": None,
-                 "content_length": n - pos, "payload": data[pos:]}
-            )
-            break
-        headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        clen = int(headers.get("content-length", "0"))
-        body_start = hdr_end + 4
-        payload = data[body_start:body_start + clen]
-        out.append(
-            {
-                "rec_type": headers.get("warc-type"),
-                "target_uri": headers.get("warc-target-uri"),
-                "content_length": clen,
-                "payload": payload,
-            }
-        )
-        pos = body_start + clen + 4  # skip payload + CRLF CRLF
-    return out
+    """Split one (decompressed) WARC byte string into records — the
+    whole-buffer convenience over :class:`_RecordScanner` (tests and
+    small fixtures; the distributed path feeds the scanner
+    incrementally).  Malformed bytes yield ``rec_type='error'`` rows,
+    never exceptions."""
+    s = _RecordScanner()
+    return s.feed(data) + s.finish()
+
+
+class _CorruptGzip(Exception):
+    """Raised by :func:`_gunzip_chunks` with the not-yet-decompressed
+    remainder, so the caller can emit it as an error row."""
+
+    def __init__(self, remaining: bytes) -> None:
+        super().__init__("corrupt gzip member")
+        self.remaining = remaining
+
+
+def _gunzip_chunks(data: bytes) -> Iterator[bytes]:
+    """Decompress a (possibly multi-member) gzip stream member-at-a-time
+    through a bounded window: at most ``_IN_CHUNK`` compressed bytes are
+    fed per call and at most ``_OUT_CAP`` inflated bytes pulled back, so
+    peak inflation memory is O(_OUT_CAP), independent of archive size.
+    Corrupt or truncated members raise :class:`_CorruptGzip` carrying
+    every byte not yet successfully decompressed."""
+    pos, n = 0, len(data)
+    pending = b""
+    while pos < n or pending:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            while not d.eof:
+                if not pending:
+                    if pos >= n:
+                        raise _CorruptGzip(b"")  # truncated member
+                    pending = data[pos:pos + _IN_CHUNK]
+                    pos += len(pending)
+                out = d.decompress(pending, _OUT_CAP)
+                pending = d.unconsumed_tail
+                if out:
+                    yield out
+            out = d.flush()
+            if out:
+                yield out
+        except zlib.error:
+            # `pending` is exactly the chunk the failing call was fed
+            raise _CorruptGzip(pending + data[pos:]) from None
+        except _CorruptGzip:
+            raise _CorruptGzip(pending + data[pos:]) from None
+        # bytes past the member end = start of the next member
+        pending = d.unused_data
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: binaryFile source (one task per file —
-    the crawl's natural parallelism unit) + mapInArrow record split.
-    Gzip is detected per file by magic bytes; multi-member streams
-    (record-per-member, the CommonCrawl layout) decompress in one
-    pass.  Returns WARC_SCHEMA rows."""
+    the crawl's natural parallelism unit) + mapInArrow incremental
+    record split.  Gzip is detected per file by magic bytes and
+    decompressed member-at-a-time through a capped window; plain files
+    stream through the same scanner in ``_IN_CHUNK`` slices.  Rows
+    leave the task as bounded Arrow batches (``_BATCH_RECORDS`` /
+    ``_BATCH_BYTES``), so task heap never scales with the RAW archive
+    size.  Malformed members/records become ``rec_type='error'`` rows.
+    Returns WARC_SCHEMA rows."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -136,19 +267,55 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     def split(batches):
         out_schema = to_arrow_schema(WARC_SCHEMA)
+        rows: list[dict] = []
+        nbytes = 0
+
+        def add(recs: list[dict], fname: str) -> int:
+            grown = 0
+            for rec in recs:
+                rec["file"] = fname
+                rows.append(rec)
+                grown += len(rec["payload"])
+            return grown
+
+        def flush() -> "pa.RecordBatch":
+            nonlocal rows, nbytes
+            b = pa.RecordBatch.from_pylist(rows, schema=out_schema)
+            rows, nbytes = [], 0
+            return b
+
         for batch in batches:
-            rows = []
             for path_, content in zip(
                 batch.column("file").to_pylist(),
                 batch.column("content").to_pylist(),
             ):
+                fname = path_.rsplit("/", 1)[-1]
                 data = bytes(content)
+                scanner = _RecordScanner()
                 if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                for rec in parse_warc_bytes(data):
-                    rec = dict(rec)
-                    rec["file"] = path_.rsplit("/", 1)[-1]
-                    rows.append(rec)
-            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+                    chunks: Iterable[bytes] = _gunzip_chunks(data)
+                else:
+                    chunks = (
+                        data[off:off + _IN_CHUNK]
+                        for off in range(0, len(data), _IN_CHUNK)
+                    )
+                try:
+                    for chunk in chunks:
+                        nbytes += add(scanner.feed(chunk), fname)
+                        if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+                            yield flush()
+                    nbytes += add(scanner.finish(), fname)
+                except _CorruptGzip as exc:
+                    # error-row discipline: whatever decompressed parses,
+                    # the corrupt remainder becomes one error row
+                    # emitted even when `remaining` is empty (member
+                    # truncated after all bytes were fed): corruption
+                    # must never be silent
+                    nbytes += add(scanner.finish(), fname)
+                    nbytes += add([_error_rec(exc.remaining)], fname)
+                if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+                    yield flush()
+        if rows:
+            yield flush()
 
     return files.mapInArrow(split, schema=WARC_SCHEMA)

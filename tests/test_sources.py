@@ -71,3 +71,107 @@ def test_read_warc_distributed_multi_file(spark, tmp_path: Path):
     assert {r.target_uri for r in by_file["f0.warc.gz"]} == {
         f"https://s0.example/{j}" for j in range(5)
     }
+
+
+def test_non_numeric_content_length_is_error_row_not_exception():
+    # ADVICE r5: int() on a bad Content-Length used to raise inside the
+    # task; the remainder must become one error row instead
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\n"
+        b"whatever"
+    )
+    data = warc_file_bytes([("response", "u", b"ok")]) + bad
+    got = parse_warc_bytes(data)
+    assert [r["rec_type"] for r in got] == ["response", "error"]
+    assert got[1]["payload"] == bad
+
+
+def test_non_utf8_header_is_error_row_stream_continues():
+    # a single record with latin-1 header bytes errors out alone; the
+    # stream stays parseable because Content-Length is still digits
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: caf\xe9\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    data = warc_file_bytes([("response", "a", b"x")]) + evil + warc_file_bytes(
+        [("response", "b", b"y")]
+    )
+    got = parse_warc_bytes(data)
+    assert [r["rec_type"] for r in got] == ["response", "error", "response"]
+    assert got[0]["payload"] == b"x" and got[2]["payload"] == b"y"
+    assert got[1]["payload"] == evil
+
+
+def test_record_spanning_gzip_members():
+    # the scanner is a pure stream consumer: a record split across gzip
+    # member boundaries (NOT the record-per-member layout) still parses
+    import gzip as _gz
+    import io as _io
+
+    raw = warc_file_bytes(
+        [("response", "u", b"A" * 1000), ("response", "v", b"B" * 1000)]
+    )
+    out = _io.BytesIO()
+    for i in range(0, len(raw), 301):  # members cut mid-record
+        buf = _io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(raw[i:i + 301])
+        out.write(buf.getvalue())
+    from ffp_spark.sources import _gunzip_chunks, _RecordScanner
+
+    s = _RecordScanner()
+    recs = []
+    for chunk in _gunzip_chunks(out.getvalue()):
+        recs += s.feed(chunk)
+    recs += s.finish()
+    assert [(r["rec_type"], r["payload"]) for r in recs] == [
+        ("response", b"A" * 1000),
+        ("response", b"B" * 1000),
+    ]
+
+
+def test_gunzip_chunks_window_is_bounded():
+    # one highly-compressible 64 MB member must inflate through the
+    # capped window, never as one blob
+    import gzip as _gz
+    import io as _io
+
+    from ffp_spark.sources import _OUT_CAP, _gunzip_chunks
+
+    buf = _io.BytesIO()
+    with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(b"z" * (64 << 20))
+    total = 0
+    for chunk in _gunzip_chunks(buf.getvalue()):
+        assert len(chunk) <= _OUT_CAP
+        total += len(chunk)
+    assert total == 64 << 20
+
+
+def test_corrupt_gzip_member_becomes_error_row(spark, tmp_path: Path):
+    good = warc_file_bytes([("response", "https://ok.example/", b"fine")], gz=True)
+    corrupt = good + b"\x1f\x8b\x08\x00CORRUPTED-NOT-DEFLATE-DATA"
+    (tmp_path / "c.warc.gz").write_bytes(corrupt)
+    rows = read_warc(spark, str(tmp_path / "c.warc.gz")).collect()
+    by_type = {r.rec_type: r for r in rows}
+    assert set(by_type) == {"response", "error"}
+    assert bytes(by_type["response"].payload) == b"fine"
+    # the undecompressed remainder is preserved in the error row
+    assert bytes(by_type["error"].payload).startswith(b"\x1f\x8b\x08\x00CORRUPT")
+
+
+def test_read_warc_many_records_bounded_batches(spark, tmp_path: Path):
+    # > _BATCH_RECORDS records in one file: emission crosses the flush
+    # boundary and every record still arrives exactly once
+    recs = [
+        ("response", f"https://m.example/{j}", f"payload-{j}".encode())
+        for j in range(700)
+    ]
+    (tmp_path / "m.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    df = read_warc(spark, str(tmp_path / "m.warc.gz"))
+    got = sorted(
+        (r.target_uri, bytes(r.payload)) for r in df.collect()
+    )
+    assert got == sorted(
+        (u, p) for (_, u, p) in recs
+    )
