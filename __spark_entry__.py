@@ -2095,6 +2095,85 @@ ORDER BY file
 """
 
 
+def _q_warc_http_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP header/body split of WARC response records end-to-end
+    (sources.split_http): documents are wrapped into real HTTP response
+    payloads (status/content-type from doc_id arithmetic; every
+    doc_id%5==0 body is gzip Content-Encoding'd; every doc_id%17==0
+    payload is garbage with no header block), serialized into 2
+    .warc.gz shards, re-ingested, split, and reduced to per-(rec_type,
+    status, content-type) counts + body-byte sums + an md5-derived body
+    checksum.  The checksum proves the split AND the Content-Encoding
+    decode byte-exactly: a decoded gzip body must hash identically to
+    the original text, and garbage must surface as rec_type='error'
+    rows carrying the raw payload.  DuckDB replays it all from doc_id
+    arithmetic over the text column."""
+    import gzip
+    import tempfile
+    from pathlib import Path
+
+    from ffp_spark.sources import read_warc, split_http, warc_file_bytes
+
+    _t(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    base = Path(tempfile.mkdtemp(prefix="ffp_warc_http_"))
+    shards: dict[int, list] = {0: [], 1: []}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        if r.doc_id % 17 == 0:
+            payload = b"GARBAGE" + r.text.replace("\r", "").encode()
+        else:
+            status = 404 if r.doc_id % 10 == 3 else (301 if r.doc_id % 10 == 7 else 200)
+            ct = ("text/html", "application/json", "text/plain")[r.doc_id % 3]
+            head = f"HTTP/1.1 {status} X\r\nContent-Type: {ct}\r\n"
+            body = r.text.encode()
+            if r.doc_id % 5 == 0:
+                body = gzip.compress(body, mtime=0)
+                head += "Content-Encoding: gzip\r\n"
+            payload = head.encode() + b"\r\n" + body
+        shards[r.doc_id % 2].append(
+            ("response", f"https://feed-{r.doc_id}.example/", payload)
+        )
+    for s, recs in shards.items():
+        (base / f"h{s}.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    rows = split_http(read_warc(spark, str(base / "*.warc.gz")))
+    h15 = F.conv(F.substring(F.md5("body"), 1, 15), 16, 10).cast("long")
+    return (
+        rows.groupBy("rec_type", "http_status", "content_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.octet_length("body")).alias("body_bytes"),
+            F.sum(h15 % 1000000007).alias("body_check"),
+        )
+        .orderBy("rec_type", "http_status", "content_type")
+    )
+
+
+_ORACLE_ONLY["warc_http_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'error' ELSE 'response' END AS rec_type,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              WHEN doc_id % 10 = 3 THEN 404
+              WHEN doc_id % 10 = 7 THEN 301 ELSE 200 END AS http_status,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE CASE doc_id % 3 WHEN 0 THEN 'text/html'
+                                   WHEN 1 THEN 'application/json'
+                                   ELSE 'text/plain' END END AS content_type,
+         CASE WHEN doc_id % 17 = 0 THEN 'GARBAGE' || replace(text, chr(13), '')
+              ELSE text END AS body
+  FROM documents
+)
+SELECT rec_type, http_status, content_type,
+       count(*) AS n_records,
+       CAST(sum(octet_length(encode(body))) AS BIGINT) AS body_bytes,
+       CAST(sum(CAST(('0x' || substr(md5(body), 1, 15)) AS BIGINT) % 1000000007)
+            AS BIGINT) AS body_check
+FROM d
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def _q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end, value-oracled: 16x16
     grayscale gradient PNGs (pixel = ((doc_id%32)*8 + y*16 + x) % 256)
@@ -6189,6 +6268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["setsim_join_pairs"] = _q_setsim_join_pairs
     all_q["media_ahash_dedup"] = _q_media_ahash_dedup
     all_q["warc_ingest_stats"] = _q_warc_ingest_stats
+    # round-6 additions: past the 50-row window (same discipline)
+    all_q["warc_http_stats"] = _q_warc_http_stats
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history

@@ -38,6 +38,67 @@ from .udfs import parse_pages
 DEFAULT_PARTS = 64
 
 
+def pages_from_warc(
+    spark: SparkSession,
+    path: str,
+    robots: Optional[DataFrame] = None,
+    user_agent: str = "ffpbot",
+    default_warc_ts: Optional[str] = None,
+    ok_statuses: tuple[int, ...] = (200,),
+) -> DataFrame:
+    """Ingestion pre-stage: .warc(.gz) archives -> PAGES-shaped rows,
+    ready for :func:`run_snapshot`.
+
+    read_warc (file-parallel, bounded-memory record split) ->
+    split_http (status line / headers / body separation +
+    Content-Encoding decode) -> keep ``response`` records whose status
+    is in ``ok_statuses`` -> PAGES columns: url = WARC-Target-URI,
+    warc_ts = WARC-Date (ISO-8601; falls back to ``default_warc_ts``),
+    html = decoded body, lang from the Content-Language header when
+    present.  Malformed records arrived as rec_type='error' rows
+    upstream and are dropped here by the response filter — ingestion
+    errors never become pages.
+
+    With a ``robots`` DataFrame of (host, body) robots.txt files, URLs
+    the host's policy disallows for ``user_agent`` are filtered out
+    BEFORE the parse stage (rule tables are robots-file-sized and
+    broadcast inside robots_allowed — no extra shuffle on the page
+    stream beyond the verdict agg).
+    """
+    from .robots import parse_robots, robots_allowed
+    from .sources import read_warc, split_http
+
+    http = split_http(read_warc(spark, path))
+    lang = F.expr(
+        "filter(http_headers, h -> h.name = 'content-language')[0].value"
+    )
+    pages = (
+        http.where(
+            (F.col("rec_type") == "response")
+            & F.col("http_status").isin(list(ok_statuses))
+            & F.col("target_uri").isNotNull()
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.coalesce(
+                F.to_timestamp("warc_date"),
+                F.to_timestamp(F.lit(default_warc_ts)),
+            ).alias("warc_ts"),
+            F.col("body").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            lang.alias("lang"),
+        )
+    )
+    if robots is not None:
+        rules = parse_robots(robots)
+        pages = (
+            robots_allowed(pages, rules, user_agent)
+            .where(F.col("allowed"))
+            .drop("allowed", "host", "path")
+        )
+    return pages
+
+
 def add_part_id(pages: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFrame:
     """Deterministic url-hash partition id (K11)."""
     return pages.withColumn(

@@ -43,12 +43,15 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import zlib
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -70,16 +73,23 @@ WARC_SCHEMA = StructType(
         StructField("file", StringType(), False),
         StructField("rec_type", StringType(), True),
         StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
         StructField("content_length", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
 )
 
 
-def warc_record(rec_type: str, target_uri: str | None, payload: bytes) -> bytes:
+def warc_record(
+    rec_type: str,
+    target_uri: str | None,
+    payload: bytes,
+    date: str | None = None,
+) -> bytes:
     """One WARC record, spec-shaped (header block + CRLFCRLF + payload
-    + CRLFCRLF).  WARC-Record-ID is derived from the target URI — the
-    encoder is a pure function of its arguments."""
+    + CRLFCRLF).  WARC-Record-ID is derived from the target URI and
+    WARC-Date is caller-supplied (ISO-8601) or omitted — the encoder is
+    a pure function of its arguments, no wall clock."""
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + rec_type.encode(),
@@ -87,18 +97,21 @@ def warc_record(rec_type: str, target_uri: str | None, payload: bytes) -> bytes:
     ]
     if target_uri is not None:
         headers.append(b"WARC-Target-URI: " + target_uri.encode())
+    if date is not None:
+        headers.append(b"WARC-Date: " + date.encode())
     headers.append(b"Content-Length: " + str(len(payload)).encode())
     return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
 
 
 def warc_file_bytes(
-    records: Iterable[tuple[str, str | None, bytes]], gz: bool = False
+    records: Iterable[tuple], gz: bool = False
 ) -> bytes:
-    """Concatenated records; with ``gz`` one gzip member per record
-    (mtime pinned to 0 — byte-deterministic)."""
+    """Concatenated records — tuples of (rec_type, uri, payload) or
+    (rec_type, uri, payload, warc_date); with ``gz`` one gzip member
+    per record (mtime pinned to 0 — byte-deterministic)."""
     out = io.BytesIO()
-    for rec_type, uri, payload in records:
-        raw = warc_record(rec_type, uri, payload)
+    for rec in records:
+        raw = warc_record(*rec)
         if gz:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
@@ -113,6 +126,7 @@ def _error_rec(payload: bytes) -> dict:
     return {
         "rec_type": "error",
         "target_uri": None,
+        "warc_date": None,
         "content_length": len(payload),
         "payload": payload,
     }
@@ -181,6 +195,7 @@ class _RecordScanner:
                     {
                         "rec_type": headers.get("warc-type"),
                         "target_uri": headers.get("warc-target-uri"),
+                        "warc_date": headers.get("warc-date"),
                         "content_length": clen,
                         "payload": payload,
                     }
@@ -245,6 +260,111 @@ def _gunzip_chunks(data: bytes) -> Iterator[bytes]:
             raise _CorruptGzip(pending + data[pos:]) from None
         # bytes past the member end = start of the next member
         pending = d.unused_data
+
+
+HTTP_HEADER_STRUCT = StructType(
+    [
+        StructField("name", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
+WARC_HTTP_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("rec_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("http_headers", ArrayType(HTTP_HEADER_STRUCT), True),
+        StructField("body", BinaryType(), True),
+    ]
+)
+
+_STATUS_RE = re.compile(rb"^HTTP/\d+\.\d+[ \t]+(\d{3})")
+
+
+def _split_http_one(payload: bytes) -> tuple[int, str | None, list[dict], bytes]:
+    """One response payload -> (status, content_type, headers, body).
+    Real WARC ``response`` records carry the HTTP status line + headers
+    BEFORE the entity body (the reference's fetch path gets this split
+    for free from its response object, main.py:443-475; this is the
+    at-rest analogue).  Header bytes decode as latin-1 (the HTTP/1.1
+    charset — lossless, never raises); the body honors
+    Content-Encoding through the same ``_maybe_decompress`` ladder the
+    parser uses for stored pages.  Raises ValueError on a payload with
+    no header block, a non-HTTP status line, or a declared encoding
+    that fails to decompress — callers turn that into an error ROW."""
+    from .udfs import _maybe_decompress
+
+    i = payload.find(_CRLF + _CRLF)
+    if i < 0:
+        raise ValueError("no HTTP header/body separator")
+    lines = payload[:i].split(_CRLF)
+    m = _STATUS_RE.match(lines[0])
+    if m is None:
+        raise ValueError("payload does not start with an HTTP status line")
+    status = int(m.group(1))
+    headers: list[dict] = []
+    hmap: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        name = k.strip().lower().decode("latin-1")
+        value = v.strip().decode("latin-1")
+        headers.append({"name": name, "value": value})
+        hmap.setdefault(name, value)
+    body = _maybe_decompress(payload[i + 4:], hmap.get("content-encoding"))
+    return status, hmap.get("content-type"), headers, body
+
+
+def split_http(records: DataFrame) -> DataFrame:
+    """WARC rows -> WARC_HTTP_SCHEMA rows: ``response`` payloads split
+    into (http_status, content_type, http_headers, body), with the body
+    Content-Encoding-decoded.  Non-response records pass through with
+    NULL HTTP columns and ``body = payload``.  Malformed response
+    payloads (no CRLFCRLF, non-HTTP status line, undecompressable
+    declared encoding) become ``rec_type='error'`` rows carrying the
+    raw payload — never task failures.
+
+    mapInArrow (binary payloads stay inside Arrow batches; upstream
+    read_warc already bounds batch sizes, so this stage inherits the
+    bounded memory profile)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def run(batches):
+        out_schema = to_arrow_schema(WARC_HTTP_SCHEMA)
+        for batch in batches:
+            rows = []
+            for rec in batch.to_pylist():
+                payload = bytes(rec["payload"]) if rec["payload"] is not None else b""
+                out = {
+                    "file": rec["file"],
+                    "rec_type": rec["rec_type"],
+                    "target_uri": rec["target_uri"],
+                    "warc_date": rec["warc_date"],
+                    "http_status": None,
+                    "content_type": None,
+                    "http_headers": None,
+                    "body": payload,
+                }
+                if rec["rec_type"] == "response":
+                    try:
+                        status, ct, headers, body = _split_http_one(payload)
+                        out.update(
+                            http_status=status,
+                            content_type=ct,
+                            http_headers=headers,
+                            body=body,
+                        )
+                    except ValueError:
+                        out["rec_type"] = "error"
+                rows.append(out)
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return records.mapInArrow(run, schema=WARC_HTTP_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -175,3 +175,69 @@ def test_read_warc_many_records_bounded_batches(spark, tmp_path: Path):
     assert got == sorted(
         (u, p) for (_, u, p) in recs
     )
+
+
+def test_split_http_response_records(spark, tmp_path: Path):
+    import gzip as _gz
+
+    html = b"<html>hello</html>"
+    gzbody = _gz.compress(b"compressed body", mtime=0)
+    recs = [
+        (
+            "response",
+            "https://a.example/ok",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"X-Custom: yes\r\n\r\n" + html,
+        ),
+        (
+            "response",
+            "https://a.example/gone",
+            b"HTTP/1.0 404\r\nContent-Type: text/plain\r\n\r\nnot here",
+        ),
+        (
+            "response",
+            "https://a.example/gz",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Type: text/plain\r\n\r\n" + gzbody,
+        ),
+        ("request", "https://a.example/req", b"GET /ok HTTP/1.1\r\n\r\n"),
+        ("response", "https://a.example/bad", b"no header block here"),
+    ]
+    from ffp_spark.sources import read_warc, split_http, warc_file_bytes
+
+    (tmp_path / "h.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    out = {
+        r.target_uri: r
+        for r in split_http(read_warc(spark, str(tmp_path / "h.warc.gz"))).collect()
+    }
+    ok = out["https://a.example/ok"]
+    assert ok.http_status == 200
+    assert ok.content_type == "text/html; charset=utf-8"
+    assert bytes(ok.body) == html
+    assert {h.name: h.value for h in ok.http_headers}["x-custom"] == "yes"
+    gone = out["https://a.example/gone"]
+    assert gone.http_status == 404 and bytes(gone.body) == b"not here"
+    gz = out["https://a.example/gz"]
+    assert gz.http_status == 200 and bytes(gz.body) == b"compressed body"
+    reqs = [r for r in out.values() if r.rec_type == "request"]
+    assert len(reqs) == 1 and reqs[0].http_status is None
+    assert bytes(reqs[0].body) == b"GET /ok HTTP/1.1\r\n\r\n"
+    bad = out["https://a.example/bad"]
+    assert bad.rec_type == "error" and bad.http_status is None
+    assert bytes(bad.body) == b"no header block here"
+
+
+def test_split_http_bad_declared_encoding_is_error_row(spark, tmp_path: Path):
+    recs = [
+        (
+            "response",
+            "https://a.example/liar",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip at all",
+        )
+    ]
+    from ffp_spark.sources import read_warc, split_http, warc_file_bytes
+
+    (tmp_path / "l.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    rows = split_http(read_warc(spark, str(tmp_path / "l.warc.gz"))).collect()
+    assert len(rows) == 1 and rows[0].rec_type == "error"
+    assert bytes(rows[0].body).endswith(b"not gzip at all")
