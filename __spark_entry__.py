@@ -1990,12 +1990,15 @@ def _q_robots_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy filter end-to-end (robots.parse_robots +
     robots_allowed): each source hosts a synthesized robots.txt —
     even-indexed sources lock '*' down entirely but carve an exception
-    group for our agent (Disallow /private, Allow /private/2), odd
-    sources disallow /private for everyone — and every doc with
+    group for our agent (Disallow /private, Allow /private/2, plus the
+    RFC 9309 wildcard rule Disallow /doc/*7$), odd sources disallow
+    /private for everyone plus the wildcard /*9$ — and every doc with
     doc_id%5==0 lives under /private.  Evaluated as agent 'ffpbot':
-    exact-group precedence, longest-match, and the prefix semantics
-    all land in the per-source allow/block counts the DuckDB oracle
-    replays arithmetically."""
+    exact-group precedence, longest-match (wildcard chars count),
+    tie-to-allow, and both anchored-wildcard semantics all land in the
+    per-source allow/block counts the DuckDB oracle replays
+    arithmetically (ids ending in 7 under /doc are blocked on even
+    sources; ids ending in 9 are blocked anywhere on odd sources)."""
     from ffp_spark.robots import parse_robots, robots_allowed
 
     _t(spark, sf_dir, "documents")
@@ -2011,9 +2014,9 @@ def _q_robots_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT source,
                concat(source, '.example') AS host,
                CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN
-                 'User-agent: *\nDisallow: /\n\nUser-agent: ffpbot\nDisallow: /private\nAllow: /private/2'
+                 'User-agent: *\nDisallow: /\n\nUser-agent: ffpbot\nDisallow: /private\nAllow: /private/2\nDisallow: /doc/*7$'
                ELSE
-                 'User-agent: *\nDisallow: /private'
+                 'User-agent: *\nDisallow: /private\nDisallow: /*9$'
                END AS body
         FROM documents
     """)
@@ -2030,16 +2033,25 @@ def _q_robots_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_ONLY["robots_policy_counts"] = """
+WITH v AS (
+  SELECT source,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN
+           -- ffpbot exact group: Disallow /private (8) vs Allow
+           -- /private/2 (10, wins on ids starting 2); Disallow
+           -- /doc/*7$ blocks /doc paths for ids ending in 7
+           CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS VARCHAR) LIKE '2%'
+                ELSE NOT (CAST(doc_id AS VARCHAR) LIKE '%7') END
+         ELSE
+           -- '*' group: /private blocks doc_id%5=0; /*9$ blocks any
+           -- path ending in 9
+           doc_id % 5 <> 0 AND NOT (CAST(doc_id AS VARCHAR) LIKE '%9')
+         END AS allowed
+  FROM documents
+)
 SELECT source,
-       CAST(sum(CASE WHEN doc_id % 5 <> 0
-                       OR (CAST(substr(source, 4) AS INT) % 2 = 0
-                           AND CAST(doc_id AS VARCHAR) LIKE '2%')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
-       CAST(sum(CASE WHEN doc_id % 5 = 0
-                      AND NOT (CAST(substr(source, 4) AS INT) % 2 = 0
-                               AND CAST(doc_id AS VARCHAR) LIKE '2%')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
-FROM documents
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
+FROM v
 GROUP BY source
 ORDER BY source
 """

@@ -8,6 +8,17 @@ evaluate URLs against them with the public longest-match semantics
 path prefix wins; on a length tie, Allow wins; no matching rule means
 allowed.
 
+Wildcards are the RFC 9309 §2.2.3 set: ``*`` matches any byte
+sequence anywhere in the pattern, a trailing ``$`` anchors the match
+at the end of the path.  Patterns compile to anchored Java regexes
+INSIDE the plan (escape regex specials, ``*`` -> ``.*``, trailing
+``$`` -> ``$``), evaluated with regexp_like against a column pattern —
+rule tables are robots-file-sized, so the per-row regex compile is
+bounded by the rule count, never the URL stream.  Precedence is the
+RFC's: longest PATTERN text wins (wildcard chars count, the public
+Google-spec tiebreak), tie goes to Allow.  Wildcard-free rules keep
+the cheap startswith fast path.
+
 Everything is JVM-side DataFrame code — including the PARSER: robots
 files are line-oriented with stateful "current User-agent group"
 semantics, expressed as posexplode(lines) + a per-host running
@@ -16,7 +27,8 @@ either path.
 
 Simplifications vs the full RFC (documented contract): one User-agent
 per group header (stacked UA lines assign rules to the LAST one),
-no wildcards inside paths, no Crawl-delay/Sitemap handling.
+no Crawl-delay handling; Sitemap lines are consumed by the sitemap
+source (ffp_spark.sitemaps), not here.
 """
 
 from __future__ import annotations
@@ -108,6 +120,19 @@ def robots_allowed(
             F.lit("/"),
         ).alias("path"),
     )
+    # RFC 9309 wildcard compilation, all JVM expressions: a trailing $
+    # anchors, * becomes .*, every other regex special is escaped
+    ends_dollar = F.col("prefix").endswith("$")
+    core = F.when(
+        ends_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wild = F.col("prefix").contains("*") | ends_dollar
     # per host: does an exact-agent group exist?
     has_exact = (
         rules.where(F.col("ua") == ua)
@@ -122,12 +147,22 @@ def robots_allowed(
             ((F.col("_exact").isNotNull()) & (F.col("ua") == ua))
             | ((F.col("_exact").isNull()) & (F.col("ua") == "*"))
         )
-        .select("host", "allow", "prefix")
+        .select(
+            "host",
+            "allow",
+            "prefix",
+            has_wild.alias("_wild"),
+            rx.alias("_rx"),
+        )
     )
+    # wildcard rules match through their compiled regex; plain rules
+    # keep the startswith fast path (startswith('') is already true,
+    # which covers the empty-Disallow idiom)
     cand = u.join(F.broadcast(applicable), "host", "left").where(
         F.col("prefix").isNull()
-        | (F.col("path").startswith(F.col("prefix")))
-        | (F.col("prefix") == "")
+        | F.when(F.col("_wild"), F.expr("regexp_like(path, _rx)")).otherwise(
+            F.col("path").startswith(F.col("prefix"))
+        )
     )
     verdict = (
         cand.groupBy(url_col)

@@ -67,3 +67,81 @@ def test_unknown_host_defaults_to_allowed(spark):
     rules = _rules(spark, "h.example", "User-agent: *\nDisallow: /")
     got = _verdicts(spark, rules, ["https://other.example/x"])
     assert got == {"https://other.example/x": True}
+
+
+def test_wildcard_url_matching_google_spec_table(spark):
+    """The published Google robots-spec URL-matching example table
+    (RFC 9309 §2.2.3 semantics): one Disallow rule per host, so each
+    URL's verdict IS the match result."""
+    cases = {
+        # pattern -> (matching paths, non-matching paths)
+        "/fish": (
+            ["/fish", "/fish.html", "/fishheads", "/fish/salmon.html",
+             "/fish.php?id=anything"],
+            ["/Fish.asp", "/catfish", "/?id=fish"],
+        ),
+        "/fish*": (
+            ["/fish", "/fishheads/yummy.html", "/fish.php?id=anything"],
+            ["/Fish.asp", "/catfish"],
+        ),
+        "/fish/": (
+            ["/fish/", "/fish/salmon.htm", "/fish/?id=anything"],
+            ["/fish", "/fish.html", "/animals/fish/"],
+        ),
+        "/*.php": (
+            ["/index.php", "/filename.php", "/folder/filename.php",
+             "/folder/filename.php?parameters", "/folder/any.php.file.html",
+             "/filename.php/"],
+            ["/", "/windows.PHP"],
+        ),
+        "/*.php$": (
+            ["/filename.php", "/folder/filename.php"],
+            ["/filename.php?parameters", "/filename.php/", "/filename.php5",
+             "/windows.PHP"],
+        ),
+        "/fish*.php": (
+            ["/fish.php", "/fishheads/catfish.php?parameters"],
+            ["/Fish.PHP"],
+        ),
+    }
+    hosts, urls, expected = [], [], {}
+    for i, (pat, (hit, miss)) in enumerate(sorted(cases.items())):
+        host = f"w{i}.example"
+        hosts.append((host, f"User-agent: *\nDisallow: {pat}"))
+        for p in hit:
+            u = f"https://{host}{p}"
+            urls.append(u)
+            expected[u] = False  # matched Disallow
+        for p in miss:
+            u = f"https://{host}{p}"
+            urls.append(u)
+            expected[u] = True  # unmatched -> allowed
+    rules = parse_robots(
+        spark.createDataFrame(hosts, "host string, body string")
+    )
+    got = _verdicts(spark, rules, urls)
+    assert got == expected
+
+
+def test_wildcard_precedence_google_spec_table(spark):
+    """The spec's order-of-precedence examples involving wildcards:
+    longest pattern text wins (wildcards count), tie goes to Allow."""
+    cases = [
+        ("User-agent: *\nAllow: /p\nDisallow: /", "/page", True),
+        ("User-agent: *\nAllow: /folder\nDisallow: /folder", "/folder/page", True),
+        ("User-agent: *\nAllow: /page\nDisallow: /*.htm", "/page.htm", False),
+        ("User-agent: *\nAllow: /$\nDisallow: /", "/", True),
+        ("User-agent: *\nAllow: /$\nDisallow: /", "/page.htm", False),
+    ]
+    hosts, urls, expected = [], [], {}
+    for i, (body, path, allowed) in enumerate(cases):
+        host = f"p{i}.example"
+        hosts.append((host, body))
+        u = f"https://{host}{path}"
+        urls.append(u)
+        expected[u] = allowed
+    rules = parse_robots(
+        spark.createDataFrame(hosts, "host string, body string")
+    )
+    got = _verdicts(spark, rules, urls)
+    assert got == expected
