@@ -2186,6 +2186,84 @@ ORDER BY 1, 2, 3
 """
 
 
+def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source end-to-end (sitemaps.parse_sitemaps +
+    sitemap_frontier): each source hosts a sitemapindex referencing two
+    child urlsets (docs split by doc_id parity); entries carry a W3C
+    lastmod date from doc_id%28, a priority 0.<doc_id%10> (junk 'high'
+    for doc_id%3==0 — the F13 try-cast must NULL it), and the frontier
+    resolves one index level.  Bodies are built DISTRIBUTED via SQL
+    string aggregation — no driver materialization.  The per-source
+    rollup (url count, quantized priority mass, distinct lastmod days,
+    resolved index lineage) is replayed arithmetically by DuckDB."""
+    from ffp_spark.sitemaps import parse_sitemaps, sitemap_frontier
+
+    _t(spark, sf_dir, "documents")
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    entries = spark.sql(f"""
+        WITH e AS (
+          SELECT source, doc_id % 2 AS shard,
+                 concat('<url><loc>https://', source, '.example/doc/', doc_id,
+                        '</loc><lastmod>2020-01-',
+                        lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'),
+                        '</lastmod>',
+                        CASE WHEN doc_id % 3 = 0
+                             THEN '<priority>high</priority>'
+                             ELSE concat('<priority>0.', doc_id % 10,
+                                         '</priority>') END,
+                        '</url>') AS entry
+          FROM documents
+        )
+        SELECT concat('https://', source, '.example/sm-', shard, '.xml') AS url,
+               concat('<urlset xmlns="{ns}">',
+                      concat_ws('', sort_array(collect_list(entry))),
+                      '</urlset>') AS body
+        FROM e GROUP BY source, shard
+    """)
+    index = spark.sql(f"""
+        SELECT DISTINCT
+               concat('https://', source, '.example/sitemap.xml') AS url,
+               concat('<sitemapindex xmlns="{ns}">',
+                      '<sitemap><loc>https://', source,
+                      '.example/sm-0.xml</loc></sitemap>',
+                      '<sitemap><loc>https://', source,
+                      '.example/sm-1.xml</loc></sitemap>',
+                      '</sitemapindex>') AS body
+        FROM documents
+    """)
+    docs = entries.unionByName(index).withColumn("body", F.encode("body", "utf-8"))
+    fr = sitemap_frontier(parse_sitemaps(docs))
+    return (
+        fr.groupBy(
+            F.regexp_extract("loc", r"^https://([^.]+)\.", 1).alias("source")
+        )
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.coalesce(F.round(F.col("priority") * 10), F.lit(0.0)))
+            .cast("long")
+            .alias("prio_q"),
+            F.countDistinct("lastmod").alias("n_days"),
+            F.max("via_index").alias("index_url"),
+            F.countDistinct("via_index").alias("n_indexes"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_ONLY["sitemap_frontier_stats"] = """
+SELECT source,
+       count(*) AS n_urls,
+       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 10 END)
+            AS BIGINT) AS prio_q,
+       CAST(count(DISTINCT doc_id % 28) AS BIGINT) AS n_days,
+       'https://' || source || '.example/sitemap.xml' AS index_url,
+       CAST(1 AS BIGINT) AS n_indexes
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end, value-oracled: 16x16
     grayscale gradient PNGs (pixel = ((doc_id%32)*8 + y*16 + x) % 256)
@@ -6282,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["warc_ingest_stats"] = _q_warc_ingest_stats
     # round-6 additions: past the 50-row window (same discipline)
     all_q["warc_http_stats"] = _q_warc_http_stats
+    all_q["sitemap_frontier_stats"] = _q_sitemap_frontier_stats
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history
