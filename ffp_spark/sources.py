@@ -367,16 +367,45 @@ def split_http(records: DataFrame) -> DataFrame:
     return records.mapInArrow(run, schema=WARC_HTTP_SCHEMA)
 
 
+def scan_warc_file(fname: str, data: bytes) -> Iterator[dict]:
+    """Stream all records of one archive (the per-file task body, kept
+    module-level so bench/warc_stress.py measures the EXACT production
+    code path).  Gzip is detected by magic bytes and decompressed
+    member-at-a-time through the capped window; plain files stream
+    through the scanner in ``_IN_CHUNK`` slices.  Corrupt gzip turns
+    into an error row carrying the undecompressed remainder —
+    unconditionally, so corruption is never silent even when every
+    byte was already fed."""
+    scanner = _RecordScanner()
+    if data[:2] == b"\x1f\x8b":
+        chunks: Iterable[bytes] = _gunzip_chunks(data)
+    else:
+        chunks = (
+            data[off:off + _IN_CHUNK] for off in range(0, len(data), _IN_CHUNK)
+        )
+
+    def _tag(recs: list[dict]) -> Iterator[dict]:
+        for rec in recs:
+            rec["file"] = fname
+            yield rec
+
+    try:
+        for chunk in chunks:
+            yield from _tag(scanner.feed(chunk))
+        yield from _tag(scanner.finish())
+    except _CorruptGzip as exc:
+        yield from _tag(scanner.finish())
+        yield from _tag([_error_rec(exc.remaining)])
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: binaryFile source (one task per file —
     the crawl's natural parallelism unit) + mapInArrow incremental
-    record split.  Gzip is detected per file by magic bytes and
-    decompressed member-at-a-time through a capped window; plain files
-    stream through the same scanner in ``_IN_CHUNK`` slices.  Rows
-    leave the task as bounded Arrow batches (``_BATCH_RECORDS`` /
-    ``_BATCH_BYTES``), so task heap never scales with the RAW archive
-    size.  Malformed members/records become ``rec_type='error'`` rows.
-    Returns WARC_SCHEMA rows."""
+    record split.  Rows leave the task as bounded Arrow batches
+    (``_BATCH_RECORDS`` / ``_BATCH_BYTES``), so task heap never scales
+    with the RAW archive size (peak profile in the module docstring;
+    measured in bench/warc_stress.py).  Malformed members/records
+    become ``rec_type='error'`` rows.  Returns WARC_SCHEMA rows."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -389,53 +418,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         out_schema = to_arrow_schema(WARC_SCHEMA)
         rows: list[dict] = []
         nbytes = 0
-
-        def add(recs: list[dict], fname: str) -> int:
-            grown = 0
-            for rec in recs:
-                rec["file"] = fname
-                rows.append(rec)
-                grown += len(rec["payload"])
-            return grown
-
-        def flush() -> "pa.RecordBatch":
-            nonlocal rows, nbytes
-            b = pa.RecordBatch.from_pylist(rows, schema=out_schema)
-            rows, nbytes = [], 0
-            return b
-
         for batch in batches:
             for path_, content in zip(
                 batch.column("file").to_pylist(),
                 batch.column("content").to_pylist(),
             ):
                 fname = path_.rsplit("/", 1)[-1]
-                data = bytes(content)
-                scanner = _RecordScanner()
-                if data[:2] == b"\x1f\x8b":
-                    chunks: Iterable[bytes] = _gunzip_chunks(data)
-                else:
-                    chunks = (
-                        data[off:off + _IN_CHUNK]
-                        for off in range(0, len(data), _IN_CHUNK)
-                    )
-                try:
-                    for chunk in chunks:
-                        nbytes += add(scanner.feed(chunk), fname)
-                        if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
-                            yield flush()
-                    nbytes += add(scanner.finish(), fname)
-                except _CorruptGzip as exc:
-                    # error-row discipline: whatever decompressed parses,
-                    # the corrupt remainder becomes one error row
-                    # emitted even when `remaining` is empty (member
-                    # truncated after all bytes were fed): corruption
-                    # must never be silent
-                    nbytes += add(scanner.finish(), fname)
-                    nbytes += add([_error_rec(exc.remaining)], fname)
-                if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
-                    yield flush()
+                for rec in scan_warc_file(fname, bytes(content)):
+                    rows.append(rec)
+                    nbytes += len(rec["payload"])
+                    if len(rows) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+                        yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+                        rows, nbytes = [], 0
         if rows:
-            yield flush()
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
 
     return files.mapInArrow(split, schema=WARC_SCHEMA)

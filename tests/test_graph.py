@@ -1106,3 +1106,45 @@ def test_contract_graph_merges_weights_and_handles_self_loops(spark):
         for r in contract_graph(e, m, keep_self_loops=True).collect()
     }
     assert with_loops == {("A", "B"): 3, ("A", "A"): 1}
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    # ADVICE r5: support 0 is satisfied by EVERY edge — the 2-truss is
+    # the whole graph, including edges in zero triangles
+    from ffp_spark.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],  # triangle + tail
+        "src string, dst string",
+    )
+    got = {(r.a, r.b) for r in ktruss_edges(edges, k=2, rounds=3).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")}
+
+
+def test_scc_bigint_node_ids_keep_their_type(spark):
+    # ADVICE r5: the assignment seed derives from the input id type —
+    # bigint graphs return bigint scc_ids, not union-coerced strings
+    from ffp_spark.graph import scc
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    out = scc(edges)
+    assert dict(out.dtypes) == {"node": "bigint", "scc_id": "bigint"}
+    got = {r.node: r.scc_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_scc_nonconvergence_is_loud_not_partial(spark):
+    # a 12-chain cannot reach a verified fixpoint in 2 inner rounds:
+    # the run must raise, never return a partial assignment
+    import pytest
+
+    from ffp_spark.graph import scc
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="fixpoint|max_outer"):
+        scc(chain, max_outer=1, max_inner=2)
