@@ -386,21 +386,19 @@ def ktruss_edges(
         e.join(da, "a")
         .join(db, "b")
         .select(
-            "a",
-            "b",
             F.when(
                 (F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
                 F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
             )
             .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-            .alias("o"),
+            .alias("o")
         )
-        .select("a", "b", "o.u", "o.v")
+        .select("o.u", "o.v")  # 2 columns only: the wedge join scans this
         .localCheckpoint(eager=True)
     )
     prev_n = e.count()
-    for _ in range(rounds):
+    for r in range(rounds):
         o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
         o2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
         o3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
@@ -432,13 +430,21 @@ def ktruss_edges(
             .select("a", "b")
         )
         e = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+        if r == rounds - 1:
+            break  # round budget spent: no early-stop bookkeeping
         n = e.count()
         if n == prev_n:
             break  # fixpoint: no edge dropped, supports unchanged
         prev_n = n
-        oriented = oriented.join(e, ["a", "b"], "left_semi").localCheckpoint(
-            eager=True
-        )
+        # shrink the orientation to the survivors; canonical keys are
+        # recomputed in the join condition so the cached set stays at
+        # 2 columns (a 4-column checkpoint measurably slowed round 1)
+        oriented = oriented.join(
+            e,
+            (F.least(oriented["u"], oriented["v"]) == e["a"])
+            & (F.greatest(oriented["u"], oriented["v"]) == e["b"]),
+            "left_semi",
+        ).localCheckpoint(eager=True)
     return e.select("a", "b")
 
 
@@ -615,9 +621,12 @@ def _min_label_converged(
                 lab.unionByName(pushed)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
             )
             rounds += 1
+        # checkpoint ONCE per check batch (lineage stays <= step joins):
+        # the batch's rounds pipeline into a single job instead of one
+        # barrier per round, and the fingerprint reads the cached result
+        lab = lab.localCheckpoint(eager=True)
         cur = _fp(lab)
         if cur == prev:
             return lab
@@ -673,6 +682,16 @@ def scc(
     drained = False
     for _ in range(max_outer):
         if active.isEmpty():
+            drained = True
+            break
+        if e.isEmpty():
+            # no edges left in the active subgraph: every remaining
+            # node is trivially its own SCC — skips the entire last
+            # outer round of colorings (the common tail: a cloud of
+            # singletons after the giant components settle)
+            assigned = assigned.unionByName(
+                active.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
             drained = True
             break
         init = active.select("node", F.col("node").alias("lbl"))
