@@ -2186,6 +2186,67 @@ ORDER BY 1, 2, 3
 """
 
 
+def _q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index from the WARC reader (S8c): the FULL
+    (file, target_uri, content_length, rec_offset) table of the same
+    4-shard archive set warc_ingest_stats round-trips, offsets being
+    each record's absolute position in the decompressed stream — the
+    column a wayback-style random-access lookup seeks on.  The oracle
+    recomputes every offset INDEPENDENTLY as a prefix sum of
+    byte-exact record lengths rebuilt from the encoder's header
+    grammar (WARC/1.0 + Type + Record-ID + Target-URI + Content-Length
+    + separators) — a full-table, byte-level cross-engine check of the
+    scanner's position accounting."""
+    import tempfile
+    from pathlib import Path
+
+    from ffp_spark.sources import read_warc, warc_file_bytes
+
+    _t(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    base = Path(tempfile.mkdtemp(prefix="ffp_warc_cdx_"))
+    shards: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        shards[r.doc_id % 4].append(
+            ("response", f"https://feed-{r.doc_id}.example/", r.text.encode())
+        )
+    for s, recs in shards.items():
+        (base / f"w{s}.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    rows = read_warc(spark, str(base / "*.warc.gz"))
+    return rows.select(
+        "file", "target_uri", "content_length", "rec_offset"
+    ).orderBy("file", "rec_offset")
+
+
+_ORACLE_ONLY["warc_cdx_index"] = """
+WITH d AS (
+  SELECT doc_id,
+         'w' || (doc_id % 4) || '.warc.gz' AS file,
+         'https://feed-' || doc_id || '.example/' AS target_uri,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         -- encoder grammar: header lines joined by CRLF + CRLFCRLF +
+         -- payload + CRLFCRLF (sources.warc_record)
+         octet_length(encode(
+           'WARC/1.0' || chr(13) || chr(10) ||
+           'WARC-Type: response' || chr(13) || chr(10) ||
+           'WARC-Record-ID: <urn:ffp:https://feed-' || doc_id ||
+              '.example/>' || chr(13) || chr(10) ||
+           'WARC-Target-URI: https://feed-' || doc_id || '.example/' ||
+              chr(13) || chr(10) ||
+           'Content-Length: ' || octet_length(encode(text)) ||
+              chr(13) || chr(10) || chr(13) || chr(10)
+         )) + octet_length(encode(text)) + 4 AS rec_len
+  FROM documents
+)
+SELECT file, target_uri, content_length,
+       CAST(coalesce(sum(rec_len) OVER (PARTITION BY file ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS rec_offset
+FROM d
+ORDER BY file, rec_offset
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -6361,6 +6422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-6 additions: past the 50-row window (same discipline)
     all_q["warc_http_stats"] = _q_warc_http_stats
     all_q["sitemap_frontier_stats"] = _q_sitemap_frontier_stats
+    all_q["warc_cdx_index"] = _q_warc_cdx_index
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history

@@ -241,3 +241,62 @@ def test_split_http_bad_declared_encoding_is_error_row(spark, tmp_path: Path):
     rows = split_http(read_warc(spark, str(tmp_path / "l.warc.gz"))).collect()
     assert len(rows) == 1 and rows[0].rec_type == "error"
     assert bytes(rows[0].body).endswith(b"not gzip at all")
+
+
+def test_warc_split_ranges_and_ranged_read_match_whole_read(spark, tmp_path: Path):
+    """Range-parallel processing of oversized archives: ranges start at
+    safe boundaries and the ranged reader reproduces read_warc's rows
+    exactly (offsets are range-relative, so compared without them)."""
+    from ffp_spark.sources import read_warc_ranges, warc_split_ranges
+
+    big = [
+        ("response", f"https://big.example/{j}", (f"doc-{j}-" * 40).encode())
+        for j in range(300)
+    ]
+    small = [("response", "https://small.example/", b"tiny")]
+    (tmp_path / "big.warc.gz").write_bytes(warc_file_bytes(big, gz=True))
+    (tmp_path / "plain.warc").write_bytes(warc_file_bytes(big[:100], gz=False))
+    (tmp_path / "small.warc.gz").write_bytes(warc_file_bytes(small, gz=True))
+
+    ranges = warc_split_ranges(
+        spark, str(tmp_path / "*.warc*"), target_bytes=4096
+    )
+    rng = sorted(
+        (r.path.rsplit("/", 1)[-1], r.start, r.end) for r in ranges.collect()
+    )
+    by_file: dict[str, list] = {}
+    for f, s, e in rng:
+        by_file.setdefault(f, []).append((s, e))
+    assert len(by_file["big.warc.gz"]) > 3  # the big file actually splits
+    assert len(by_file["plain.warc"]) > 3
+    assert by_file["small.warc.gz"] == [(0, (tmp_path / "small.warc.gz").stat().st_size)]
+    for fname, spans in by_file.items():
+        data = (tmp_path / fname).read_bytes()
+        # contiguous, full cover
+        assert spans[0][0] == 0 and spans[-1][1] == len(data)
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        magic = b"\x1f\x8b" if fname.endswith(".gz") else b"WARC/"
+        assert all(data[s:s + len(magic)] == magic for s, _ in spans)
+
+    whole = read_warc(spark, str(tmp_path / "*.warc*"))
+    ranged = read_warc_ranges(spark, ranges)
+    key = lambda r: (r.file, r.target_uri, bytes(r.payload))  # noqa: E731
+    assert sorted(map(key, ranged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_rec_offset_is_decompressed_stream_prefix_sum(spark, tmp_path: Path):
+    from ffp_spark.sources import warc_record
+
+    recs = [
+        ("response", f"https://o.example/{j}", f"payload {j} {'x' * j}".encode())
+        for j in range(20)
+    ]
+    (tmp_path / "o.warc.gz").write_bytes(warc_file_bytes(recs, gz=True))
+    rows = {
+        r.target_uri: r.rec_offset
+        for r in read_warc(spark, str(tmp_path / "o.warc.gz")).collect()
+    }
+    off = 0
+    for rec_type, uri, payload in recs:
+        assert rows[uri] == off
+        off += len(warc_record(rec_type, uri, payload))
