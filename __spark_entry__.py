@@ -2247,6 +2247,75 @@ ORDER BY file, rec_offset
 """
 
 
+def _q_crawl_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler + recrawl staleness end-to-end
+    (frontier.schedule_waves + recrawl_priority): per-source frontier
+    URLs carry a sitemap-style priority, lastmod day (doc_id%28) and a
+    changefreq from the public ladder (doc_id%4); waves cap each host
+    at 16 fetches (host-partitioned row_number — no global exchange,
+    plan-asserted in tests), staleness_q = round(age_ms/(3600*freq_h))
+    at a fixed as_of instant (data, never wall clock; the grid choices
+    make .5 boundaries unreachable — N*1000/7 and N*100/3 can never
+    be half-integers).  DuckDB replays the window and the ladder
+    arithmetic."""
+    from ffp_spark.frontier import recrawl_priority, schedule_waves
+
+    _t(spark, sf_dir, "documents")
+    urls = spark.sql("""
+        SELECT doc_id, source,
+               concat('https://', source, '.example/doc/', doc_id) AS url,
+               (doc_id % 10) / 10.0 AS priority,
+               concat('2020-01-',
+                      lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')) AS lastmod,
+               element_at(array('hourly', 'daily', 'weekly', 'monthly'),
+                          CAST(doc_id % 4 AS INT) + 1) AS changefreq
+        FROM documents
+    """)
+    out = recrawl_priority(
+        schedule_waves(urls, per_host=16), as_of="2020-02-15T00:00:00Z"
+    )
+    return (
+        out.groupBy("source", "wave")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("staleness_q").alias("staleness_total"),
+        )
+        .orderBy("source", "wave")
+    )
+
+
+_ORACLE_ONLY["crawl_frontier_waves"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example/doc/' || doc_id AS url,
+         (doc_id % 10) / 10.0 AS priority,
+         CAST('2020-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+              AS TIMESTAMP) AS lastmod,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 24
+                         WHEN 2 THEN 168 ELSE 720 END AS freq_h
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY priority DESC, url ASC) - 1) // 16
+           AS wave,
+         CAST(round((epoch_ms(TIMESTAMP '2020-02-15 00:00:00')
+                     - epoch_ms(lastmod)) / (3600.0 * freq_h))
+              AS BIGINT) AS staleness_q
+  FROM u
+)
+SELECT source, wave,
+       count(*) AS n_urls,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(staleness_q) AS BIGINT) AS staleness_total
+FROM w
+GROUP BY source, wave
+ORDER BY source, wave
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -6423,6 +6492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["warc_http_stats"] = _q_warc_http_stats
     all_q["sitemap_frontier_stats"] = _q_sitemap_frontier_stats
     all_q["warc_cdx_index"] = _q_warc_cdx_index
+    all_q["crawl_frontier_waves"] = _q_crawl_frontier_waves
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history

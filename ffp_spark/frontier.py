@@ -1,0 +1,107 @@
+"""Crawl-frontier scheduling: politeness waves + recrawl priority.
+
+Completes the discovery tier (robots.py policy, sitemaps.py source,
+pipeline.pages_from_warc ingestion): given a frontier of fetchable
+URLs, assign each a politeness WAVE so no host sees more than
+``per_host`` fetches per wave — the standard crawler scheduler shape
+(host-partitioned round-robin).  Expressed as ONE host-keyed window:
+rank within host by the caller's order, wave = (rank-1) div per_host.
+The window partitions by HOST — at web scale hosts number in the
+millions, so the sort parallelizes per host and nothing ever crosses
+an Exchange SinglePartition (same discipline as token_budget_mix,
+asserted in tests/test_frontier.py).
+
+Recrawl priority follows the sitemap signals the source already
+parses (S13): an integer staleness score from <changefreq> and the
+page's age at a caller-supplied ``as_of`` instant — NO wall clock
+(the repo-wide determinism rule); age arrives as data, never as
+``now()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# public changefreq ladder (sitemaps.org vocabulary) -> nominal hours
+# between recrawls; 'always' is clamped to hourly, 'never' to ~decade
+CHANGEFREQ_HOURS: dict[str, int] = {
+    "always": 1,
+    "hourly": 1,
+    "daily": 24,
+    "weekly": 168,
+    "monthly": 720,
+    "yearly": 8760,
+    "never": 87600,
+}
+_DEFAULT_FREQ_HOURS = 168  # unlabeled pages recrawl on the weekly ladder
+
+
+def host_of(url_col: str = "url") -> Column:
+    """Host extraction shared with robots_allowed (same regex)."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+
+
+def schedule_waves(
+    frontier: DataFrame,
+    per_host: int,
+    url_col: str = "url",
+    host_col: Optional[str] = None,
+    order: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Frontier rows + (host, wave): wave k holds each host's fetches
+    number k*per_host .. (k+1)*per_host-1 under the given order —
+    dispatching one wave at a time caps per-host concurrency at
+    ``per_host`` regardless of how skewed the frontier is toward hot
+    hosts (the politeness guarantee).  Default order: priority DESC
+    when the column exists (sitemap signal), then url — total and
+    deterministic."""
+    if per_host <= 0:
+        raise ValueError("per_host must be positive")
+    out = frontier
+    if host_col is None:
+        out = out.withColumn("host", host_of(url_col))
+        host_col = "host"
+    if order is None:
+        order = (
+            [F.desc_nulls_last("priority")] if "priority" in out.columns else []
+        ) + [F.asc(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return out.withColumn(
+        "wave",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(per_host)).cast("long"),
+    )
+
+
+def recrawl_priority(
+    frontier: DataFrame,
+    as_of: str,
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+) -> DataFrame:
+    """Frontier rows + ``staleness_q``: age at ``as_of`` (an ISO
+    instant passed as DATA — never a wall clock) over the changefreq
+    ladder, in integer milli-units: round(age_ms / (3600 * freq_h)) ==
+    round(1000 * age_hours / freq_hours).  1000 means "exactly one
+    nominal interval overdue"; pages with no lastmod are maximally
+    stale (they sort first).  Integer operands, ONE double division +
+    round — exact cross-engine while age_ms < 2^53 (epoch-ms BIGINTs,
+    the repo's event-time contract)."""
+    freq_map = F.create_map(
+        *[x for k, v in sorted(CHANGEFREQ_HOURS.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    freq_h = F.coalesce(
+        freq_map[F.lower(F.col(changefreq_col))], F.lit(_DEFAULT_FREQ_HOURS)
+    )
+    age_ms = F.unix_millis(F.to_timestamp(F.lit(as_of))) - F.unix_millis(
+        F.to_timestamp(F.col(lastmod_col))
+    )
+    score = F.round(age_ms / (F.lit(3600) * freq_h)).cast("long")
+    return frontier.withColumn(
+        "staleness_q",
+        F.when(F.col(lastmod_col).isNull(), F.lit((1 << 31) - 1)).otherwise(
+            F.greatest(score, F.lit(0))
+        ),
+    )
