@@ -2247,6 +2247,59 @@ ORDER BY file, rec_offset
 """
 
 
+def _q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-link extraction -> host web graph end-to-end
+    (weblinks.extract_links + host_link_graph): every doc becomes a
+    real HTML page (built DISTRIBUTED via SQL string concat) carrying
+    an absolute cross-host link (target host doc_id*3%17), a relative
+    link (resolves to the page's own host through urljoin), a
+    rel=nofollow link on even ids (host doc_id*7%17), and a
+    javascript: link the extractor must drop; the soup parse, href
+    resolution, scheme filtering and host contraction all land in the
+    full (src_host, dst_host, weight, n_nofollow) edge table DuckDB
+    replays arithmetically."""
+    from ffp_spark.weblinks import extract_links, host_link_graph
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><body>',
+                      '<a href="https://h', doc_id * 3 % 17, '.example/p/',
+                      doc_id, '">link ', doc_id, '-0</a>',
+                      '<a href="/local/', doc_id, '">link ', doc_id, '-1</a>',
+                      CASE WHEN doc_id % 2 = 0 THEN
+                        concat('<a rel="nofollow" href="https://h',
+                               doc_id * 7 % 17, '.example/x">link ',
+                               doc_id, '-2</a>')
+                      ELSE '' END,
+                      '<a href="javascript:void(0)">skip me</a>',
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    links = extract_links(pages, html_col="body")
+    return host_link_graph(links).orderBy("src_host", "dst_host")
+
+
+_ORACLE_ONLY["web_link_graph"] = """
+WITH l AS (
+  SELECT source || '.example' AS src_host,
+         'h' || (doc_id * 3 % 17) || '.example' AS dst_host, 0 AS nf
+  FROM documents
+  UNION ALL
+  SELECT source || '.example', source || '.example', 0 FROM documents
+  UNION ALL
+  SELECT source || '.example', 'h' || (doc_id * 7 % 17) || '.example', 1
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT src_host, dst_host,
+       count(*) AS weight,
+       CAST(sum(nf) AS BIGINT) AS n_nofollow
+FROM l
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+
 def _q_crawl_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduler + recrawl staleness end-to-end
     (frontier.schedule_waves + recrawl_priority): per-source frontier
@@ -6493,6 +6546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["sitemap_frontier_stats"] = _q_sitemap_frontier_stats
     all_q["warc_cdx_index"] = _q_warc_cdx_index
     all_q["crawl_frontier_waves"] = _q_crawl_frontier_waves
+    all_q["web_link_graph"] = _q_web_link_graph
     all_q["robots_policy_counts"] = _q_robots_policy_counts
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history

@@ -1,0 +1,136 @@
+"""Anchor-text link extraction: HTML pages -> the web-link edge table.
+
+The hyperlink graph is the other half of KG construction at crawl
+scale (the CommonCrawl host-webgraph product): (src url, resolved
+href, anchor text, nofollow) edges, contracted onto hosts downstream
+— host_link_graph composes graph.contract_graph's plan shape (two
+host projections + one partially-aggregated count) without the
+intermediate node table.
+
+Extraction rides the existing HTML-soup bridge (_SoupBuilder,
+feedparse/htmlsoup.py — the same forgiving parser the meta-refresh
+rescue S3 uses), href resolution through urljoin (F12 discipline),
+fragments stripped, javascript:/mailto:/data:/tel: schemes and empty
+hrefs dropped.  One mapInArrow hop over (url, html); only the edge
+columns leave the task — anchor text is whitespace-collapsed and
+capped at 512 chars so a pathological page cannot blow the batch.
+Unparseable HTML contributes zero edges (page-level parse errors are
+already error ROWS in the parse stage; the link extractor is a
+secondary consumer and stays silent on them).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("href", StringType(), False),
+        StructField("anchor", StringType(), True),
+        StructField("nofollow", BooleanType(), False),
+    ]
+)
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "about:")
+_WS = re.compile(r"\s+")
+
+
+def extract_link_rows(url: str, payload: bytes) -> list[dict]:
+    """One page -> link rows.  Pure function (tests + the vectorized
+    stage)."""
+    from .feedparse.htmlsoup import parse_html_tree
+
+    tree = parse_html_tree(payload)
+    if tree is None:
+        return []
+    out: list[dict] = []
+    for a in tree.iter("a"):
+        href = (a.get("href") or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            resolved = urljoin(url, href)
+        except ValueError:
+            continue
+        resolved = resolved.split("#", 1)[0]
+        if not resolved:
+            continue
+        anchor = _WS.sub(" ", "".join(a.itertext())).strip()[:512]
+        rel = (a.get("rel") or "").lower().split()
+        out.append(
+            {
+                "url": url,
+                "href": resolved,
+                "anchor": anchor or None,
+                "nofollow": "nofollow" in rel,
+            }
+        )
+    return out
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """PAGES -> LINKS_SCHEMA edges (mapInArrow; binary payloads never
+    cross pandas object arrays).  Column-prunes to (url, html) before
+    the Python hop."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    src = pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).cast("binary").alias("html")
+    )
+
+    def run(batches: Iterable["pa.RecordBatch"]):
+        out_schema = to_arrow_schema(LINKS_SCHEMA)
+        for batch in batches:
+            rows: list[dict] = []
+            for rec in batch.to_pylist():
+                payload = rec["html"] if rec["html"] is not None else b""
+                rows.extend(extract_link_rows(rec["url"], bytes(payload)))
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return src.mapInArrow(run, schema=LINKS_SCHEMA)
+
+
+def host_link_graph(
+    links: DataFrame,
+    include_self: bool = True,
+    follow_only: bool = False,
+) -> DataFrame:
+    """LINKS -> host-level weighted edges (src_host, dst_host, weight,
+    n_nofollow): the quotient the public host-webgraph ships.  Plan:
+    two regexp host projections inside codegen + ONE (src,dst)-keyed
+    count with map-side partial aggregation — link tables are
+    E-sized, host pairs collapse before the shuffle.  ``follow_only``
+    drops rel=nofollow edges (the PageRank-input convention);
+    ``include_self=False`` drops intra-host edges like
+    graph.contract_graph's default."""
+    host = lambda c: F.regexp_extract(c, r"^[a-z]+://([^/]+)", 1)  # noqa: E731
+    e = links.select(
+        host("url").alias("src_host"),
+        host("href").alias("dst_host"),
+        "nofollow",
+    ).where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if follow_only:
+        e = e.where(~F.col("nofollow"))
+    if not include_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("weight"),
+        F.sum(F.col("nofollow").cast("long")).alias("n_nofollow"),
+    )
