@@ -44,6 +44,46 @@ def host_of(url_col: str = "url") -> Column:
     return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
 
 
+def discover_frontier(
+    sitemap_docs: DataFrame,
+    robots_docs: Optional[DataFrame],
+    user_agent: str = "ffpbot",
+    as_of: Optional[str] = None,
+    per_host: int = 16,
+) -> DataFrame:
+    """The whole discovery tier as one plan: sitemap documents
+    (url, body) -> parsed urlset/sitemapindex -> one-level frontier
+    (sitemaps.sitemap_frontier) -> robots policy filter (host-grouped
+    rules broadcast, RFC 9309 wildcards) -> recrawl staleness at
+    ``as_of`` -> politeness waves ordered by (staleness DESC, url).
+
+    Output columns: url, lastmod, changefreq, priority, via_index,
+    host, staleness_q, wave.  Everything JVM-side after the one
+    sitemap-parse Arrow hop; the only shuffles are the frontier's
+    host-window sort and the robots verdict agg — both host-keyed,
+    never global."""
+    from .robots import parse_robots, robots_allowed
+    from .sitemaps import parse_sitemaps, sitemap_frontier
+
+    fr = sitemap_frontier(parse_sitemaps(sitemap_docs)).where(
+        F.col("loc").isNotNull()
+    ).withColumnRenamed("loc", "url").drop("sitemap_url")
+    if robots_docs is not None:
+        rules = parse_robots(robots_docs)
+        fr = (
+            robots_allowed(fr, rules, user_agent)
+            .where(F.col("allowed"))
+            .drop("allowed", "path")
+        )
+    if as_of is not None:
+        fr = recrawl_priority(fr, as_of=as_of)
+        order = [F.desc("staleness_q"), F.asc("url")]
+    else:
+        order = None
+    host_col = "host" if "host" in fr.columns else None
+    return schedule_waves(fr, per_host=per_host, host_col=host_col, order=order)
+
+
 def schedule_waves(
     frontier: DataFrame,
     per_host: int,

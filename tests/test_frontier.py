@@ -76,3 +76,62 @@ def test_recrawl_staleness_ladder(spark):
     assert out["fresh-daily"] == 250  # 6h into a 24h interval
     assert out["unlabeled"] == round(48 / 168 * 1000)  # weekly default
     assert out["never-seen"] == (1 << 31) - 1  # maximally stale
+
+
+def test_discover_frontier_end_to_end(spark):
+    """Sitemaps -> robots -> staleness -> waves as one composed plan."""
+    from ffp_spark.frontier import discover_frontier
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    def urlset(host, ids, freq):
+        entries = "".join(
+            f"<url><loc>https://{host}/p/{i}</loc>"
+            f"<lastmod>2020-01-0{1 + i % 5}</lastmod>"
+            f"<changefreq>{freq}</changefreq></url>"
+            for i in ids
+        )
+        return f"<urlset {ns}>{entries}</urlset>".encode()
+
+    index = (
+        f'<sitemapindex {ns}>'
+        '<sitemap><loc>https://a.example/sm-1.xml</loc></sitemap>'
+        '</sitemapindex>'
+    ).encode()
+    sitemaps = spark.createDataFrame(
+        [
+            ("https://a.example/sitemap.xml", index),
+            ("https://a.example/sm-1.xml", urlset("a.example", range(10), "daily")),
+            ("https://b.example/sitemap.xml", urlset("b.example", range(6), "hourly")),
+        ],
+        "url string, body binary",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /p/3"),  # blocks /p/3 only
+            ("b.example", "User-agent: *\nDisallow:"),
+        ],
+        "host string, body string",
+    )
+    out = discover_frontier(
+        sitemaps, robots, as_of="2020-01-10T00:00:00Z", per_host=4
+    ).collect()
+    urls = {r.url for r in out}
+    assert "https://a.example/p/3" not in urls  # robots filter applied
+    assert len(urls) == 9 + 6
+    a_rows = sorted(
+        (r for r in out if r.host == "a.example"),
+        key=lambda r: (-r.staleness_q, r.url),
+    )
+    # waves follow the staleness-desc order, 4 per wave per host
+    assert [r.wave for r in a_rows] == [i // 4 for i in range(len(a_rows))]
+    # index lineage survived the composition
+    assert all(
+        r.via_index == "https://a.example/sitemap.xml"
+        for r in out
+        if r.host == "a.example"
+    )
+    assert all(r.via_index is None for r in out if r.host == "b.example")
+    # hourly ladder makes b.example's pages far staler than a's daily
+    assert min(r.staleness_q for r in out if r.host == "b.example") > max(
+        r.staleness_q for r in out if r.host == "a.example"
+    )
