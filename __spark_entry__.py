@@ -2369,6 +2369,359 @@ ORDER BY source, wave
 """
 
 
+def _q_cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys (weblinks.surt_key) over deliberately messy
+    URLs — mixed-case scheme/host, www. prefixes, default ports,
+    shuffled query parameters, fragments: the canonicalized key a
+    CDX/CDXJ capture index SORTS on so per-site lookups become range
+    scans over sorted shards (the property that matters at a
+    petabyte of index).  The FULL (url, surt) table comes back in
+    SURT order — the oracle replays every transform step (fragment
+    strip, host lowercase/www/port, label reversal, query-param
+    sort) with DuckDB string functions."""
+    from ffp_spark.weblinks import surt_key
+
+    _t(spark, sf_dir, "documents")
+    urls = spark.sql("""
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN concat('HTTPS://WWW.', upper(source),
+                               '.Example.COM:443/Doc/', doc_id,
+                               '?b=2&a=', doc_id % 5, '#sec')
+            WHEN 1 THEN concat('http://', source, '.example.com:80/doc/',
+                               doc_id)
+            WHEN 2 THEN concat('https://', source, '.example.com:8443/doc/',
+                               doc_id, '?z=9&a=1&m=', doc_id % 3)
+            ELSE concat('https://sub.', source, '.example.com')
+          END AS url
+        FROM documents
+    """)
+    return urls.select("url", surt_key("url").alias("surt")).orderBy(
+        "surt", "url"
+    )
+
+
+_ORACLE_ONLY["cdx_surt_keys"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Doc/'
+                  || doc_id || '?b=2&a=' || (doc_id % 5) || '#sec'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/doc/' || doc_id
+      WHEN 2 THEN 'https://' || source || '.example.com:8443/doc/' || doc_id
+                  || '?z=9&a=1&m=' || (doc_id % 3)
+      ELSE 'https://sub.' || source || '.example.com'
+    END AS url
+  FROM documents
+),
+s1 AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS u FROM raw
+),
+s2 AS (
+  SELECT url, u,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1)),
+             '^www\\.', ''),
+           ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT url,
+         array_to_string(
+           list_reverse(string_split(regexp_replace(host, ':[0-9]+$', ''), '.')),
+           ',')
+         || CASE WHEN regexp_extract(host, ':([0-9]+)$', 1) = '' THEN ''
+                 ELSE ':' || regexp_extract(host, ':([0-9]+)$', 1) END AS rev,
+         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+         regexp_extract(rest, '\\?(.*)$', 1) AS q
+  FROM s2
+)
+SELECT url,
+       rev || ')' || path ||
+       CASE WHEN q = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+       END AS surt
+FROM s3
+ORDER BY surt, url
+"""
+
+
+def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical duplicate collapse (weblinks.extract_canonicals):
+    every production crawl pipeline clusters URL variants on the
+    page-declared canonical BEFORE content dedup ever runs — it is
+    the publisher's own dedup signal.  Pages synthesize DISTRIBUTED
+    (SQL concat): the cluster representative is doc_id%100 — the
+    SAME-source page with the lowest id in the page's residue class
+    (sources stripe doc_id mod 20, so %100 stays on-host and real
+    multi-page clusters form); pages with doc_id >= 100 declare a
+    canonical to it — ABSOLUTE when (doc_id div 100) is odd,
+    RELATIVE (the extractor must urljoin) when even — and
+    representatives themselves declare none (cluster key falls back
+    to the page's own URL); a rel=stylesheet link and an anchor are
+    distractors the extractor must ignore.  Returns the full
+    (cluster_url, n_pages, id_checksum) table the oracle replays
+    arithmetically."""
+    from ffp_spark.weblinks import extract_canonicals
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><head>',
+                      '<link rel="stylesheet" href="/style.css">',
+                      CASE
+                        WHEN doc_id < 100 THEN ''
+                        WHEN (doc_id DIV 100) % 2 = 1 THEN
+                          concat('<link rel="canonical" href="https://',
+                                 source, '.example/doc/',
+                                 doc_id % 100, '">')
+                        ELSE
+                          concat('<link rel="canonical" href="/doc/',
+                                 doc_id % 100, '">')
+                      END,
+                      '</head><body><a href="/other">not a canonical</a>',
+                      '</body></html>') AS body,
+               doc_id
+        FROM documents
+    """)
+    canon = extract_canonicals(pages, html_col="body")
+    joined = canon.join(pages.select("url", "doc_id"), "url")
+    return (
+        joined.groupBy(
+            F.coalesce("canonical", "url").alias("cluster_url")
+        )
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("cluster_url")
+    )
+
+
+_ORACLE_ONLY["canonical_clusters"] = """
+WITH c AS (
+  SELECT doc_id,
+         'https://' || source || '.example/doc/' ||
+           (doc_id % 100) AS cluster_url
+  FROM documents
+)
+SELECT cluster_url,
+       count(*) AS n_pages,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM c
+GROUP BY cluster_url
+ORDER BY cluster_url
+"""
+
+
+def _q_crawl_capture_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-capture CDX diff (frontier.capture_delta): capture A drops
+    doc_id%7==6, capture B drops %7==0, %3==0 pages changed content
+    between captures, %11==0 pages carry NULL digests in BOTH (a
+    fetch that failed checksumming is still PRESENT — it must not
+    read as added/removed; NULL-vs-NULL compares unchanged).  The
+    moduli are coprime with the source stripe (doc_id mod 20), so
+    every source sees a mix of statuses.  One full outer join on the
+    url key + a codegen CASE; per (source, status) counts with id
+    checksums.  The oracle classifies every doc arithmetically —
+    independent of any join plan."""
+    from ffp_spark.frontier import capture_delta
+
+    _t(spark, sf_dir, "documents")
+    old = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE md5(text) END AS digest
+        FROM documents WHERE doc_id % 7 != 6
+    """)
+    new = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE md5(concat(text,
+                             CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END))
+               END AS digest
+        FROM documents WHERE doc_id % 7 != 0
+    """)
+    delta = capture_delta(old, new)
+    return (
+        delta.select(
+            F.regexp_extract("key", r"^https://([^.]+)\.example/", 1).alias(
+                "source"
+            ),
+            "status",
+            F.regexp_extract("key", r"/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-graph tier composed end-to-end into the product it
+    exists for: synthesized HTML pages (web_link_graph's distributed
+    corpus — absolute cross-host links, relative self-host links, a
+    rel=nofollow edge on even ids, a javascript: distractor) ->
+    weblinks.extract_links (Arrow soup hop) -> host_link_graph with
+    follow_only=True (nofollow edges carry no endorsement — the
+    PageRank-input convention) -> graph.pagerank over the weighted
+    host quotient, 3 integer iterations.  This is the CommonCrawl
+    host-ranking pipeline in one plan; the oracle rebuilds the host
+    edges arithmetically and unrolls the same integer PR recurrence."""
+    from ffp_spark.graph import pagerank
+    from ffp_spark.weblinks import extract_links, host_link_graph
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><body>',
+                      '<a href="https://h', doc_id * 3 % 17, '.example/p/',
+                      doc_id, '">link ', doc_id, '-0</a>',
+                      '<a href="/local/', doc_id, '">link ', doc_id, '-1</a>',
+                      CASE WHEN doc_id % 2 = 0 THEN
+                        concat('<a rel="nofollow" href="https://h',
+                               doc_id * 7 % 17, '.example/x">link ',
+                               doc_id, '-2</a>')
+                      ELSE '' END,
+                      '<a href="javascript:void(0)">skip me</a>',
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    hosts = host_link_graph(
+        extract_links(pages, html_col="body"), follow_only=True
+    ).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "weight",
+    )
+    scores = pagerank(hosts, iters=3, weight="weight")
+    return scores.orderBy(F.desc("pr_q"), "node").limit(20)
+
+
+def _host_pagerank_oracle(iters: int = 3) -> str:
+    from ffp_spark.graph import PR_SCALE
+
+    ctes = [
+        f"""e AS (
+  SELECT src, dst, count(*) AS w FROM (
+    SELECT source || '.example' AS src,
+           'h' || (doc_id * 3 % 17) || '.example' AS dst
+    FROM documents
+    UNION ALL
+    SELECT source || '.example', source || '.example' FROM documents
+  ) le
+  GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT n.node,
+         (SELECT (15 * {PR_SCALE}) // (100 * n) FROM nn)
+         + (85 * COALESCE(sum((s.q * e.w) // od.d), 0)) // 100 AS q
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  LEFT JOIN od ON od.src = e.src
+  GROUP BY n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(q AS BIGINT) AS pr_q FROM s{iters}"
+        + "\nORDER BY pr_q DESC, node LIMIT 20"
+    )
+
+
+_ORACLE_ONLY["host_pagerank"] = _host_pagerank_oracle()
+
+
+def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3xx chain collapse over an at-rest capture set
+    (frontier.resolve_redirects): sources stripe doc_id mod 20, so
+    the SAME-source predecessor is doc_id-20 — docs whose stripe
+    index j = doc_id div 20 has j%8 in 1..6 are 301 captures
+    pointing at it, forming on-host chains up to SIX hops: longer
+    than the resolver's max_hops=4 budget, so j%8 in {5,6} rows come
+    back resolved=false with the cursor parked mid-chain (the
+    loop/limit contract is part of the checked value, not a constant
+    column), while j%8 in {1..4} collapse to their true final with
+    the exact hop count.  The oracle replays it with four unrolled
+    LEFT-JOIN hops over the same capture CTE rather than trusting
+    closed-form arithmetic."""
+    from ffp_spark.frontier import resolve_redirects
+
+    _t(spark, sf_dir, "documents")
+    caps = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               CASE WHEN (doc_id DIV 20) % 8 BETWEEN 1 AND 6 THEN 301
+                    ELSE 200 END AS http_status,
+               CASE WHEN (doc_id DIV 20) % 8 BETWEEN 1 AND 6 THEN
+                 concat('https://', source, '.example/doc/', doc_id - 20)
+               END AS location
+        FROM documents
+    """)
+    return resolve_redirects(caps, max_hops=4).orderBy("url")
+
+
+_ORACLE_ONLY["redirect_chains"] = """
+WITH cap AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+         CASE WHEN (doc_id // 20) % 8 BETWEEN 1 AND 6
+              THEN 'https://' || source || '.example/doc/' || (doc_id - 20)
+         END AS location
+  FROM documents
+),
+r AS (SELECT url AS rcur, location AS nxt FROM cap WHERE location IS NOT NULL),
+h0 AS (SELECT url, url AS cur, 0 AS n FROM cap),
+h1 AS (SELECT url, coalesce(nxt, cur) AS cur,
+              n + CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS n
+       FROM h0 LEFT JOIN r ON h0.cur = r.rcur),
+h2 AS (SELECT url, coalesce(nxt, cur) AS cur,
+              n + CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS n
+       FROM h1 LEFT JOIN r ON h1.cur = r.rcur),
+h3 AS (SELECT url, coalesce(nxt, cur) AS cur,
+              n + CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS n
+       FROM h2 LEFT JOIN r ON h2.cur = r.rcur),
+h4 AS (SELECT url, coalesce(nxt, cur) AS cur,
+              n + CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS n
+       FROM h3 LEFT JOIN r ON h3.cur = r.rcur)
+SELECT url, cur AS final_url, CAST(n AS INTEGER) AS n_hops,
+       (r2.rcur IS NULL) AS resolved
+FROM h4 LEFT JOIN r r2 ON h4.cur = r2.rcur
+ORDER BY url
+"""
+
+
+_ORACLE_ONLY["crawl_capture_delta"] = """
+WITH cls AS (
+  SELECT source, doc_id,
+    CASE
+      WHEN doc_id % 7 = 6 THEN 'added'
+      WHEN doc_id % 7 = 0 THEN 'removed'
+      WHEN doc_id % 3 = 0 AND doc_id % 11 != 0 THEN 'changed'
+      ELSE 'unchanged'
+    END AS status
+  FROM documents
+)
+SELECT source, status,
+       count(*) AS n_urls,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM cls
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -6551,6 +6904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_contract_nations"] = _q_graph_contract_nations
     all_q["changelog_history"] = _q_changelog_history
     all_q["bloom_membership_fpr"] = _q_bloom_membership_fpr
+    all_q["cdx_surt_keys"] = _q_cdx_surt_keys
+    all_q["canonical_clusters"] = _q_canonical_clusters
+    all_q["crawl_capture_delta"] = _q_crawl_capture_delta
+    all_q["redirect_chains"] = _q_redirect_chains
+    all_q["host_pagerank"] = _q_host_pagerank
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

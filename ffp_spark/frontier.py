@@ -145,3 +145,107 @@ def recrawl_priority(
             F.greatest(score, F.lit(0))
         ),
     )
+
+
+def capture_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Two crawl captures -> per-URL change classification: the CDX
+    diff every recrawl cycle computes to decide what to refetch,
+    what to tombstone, and what to skip.  Output = (key, status,
+    old_digest, new_digest) with status in {'added', 'removed',
+    'changed', 'unchanged'}.
+
+    Plan: ONE full outer join on the key (both sides shuffle on the
+    same column, so at 100 TB the two captures co-partition; with
+    bucketed capture tables the exchange disappears entirely) + a
+    codegen CASE — no windows, no driver state.  Presence is tracked
+    by explicit markers (a row captured with a NULL digest is still
+    PRESENT — it must not read as added/removed); digests compare
+    null-safely (NULL vs NULL is unchanged, NULL vs non-NULL is
+    changed)."""
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.col(digest_col).alias("old_digest"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.col(digest_col).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_digest").eqNullSafe(F.col("new_digest")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("key", status.alias("status"), "old_digest", "new_digest")
+
+
+_REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def resolve_redirects(
+    captures: DataFrame,
+    max_hops: int = 4,
+    url_col: str = "url",
+    status_col: str = "http_status",
+    location_col: str = "location",
+) -> DataFrame:
+    """Collapse 3xx redirect chains in an at-rest capture set: the
+    batch analogue of a live fetcher's follow_redirects (the
+    reference's fetch path follows redirects before parsing; a crawl
+    archive instead stores each 3xx hop as its own capture, and KG
+    construction must land every chain on its final URL — otherwise
+    one logical page splits into N subject entities).
+
+    Output: (url, final_url, n_hops, resolved).  ``resolved`` is False
+    only when ``max_hops`` joins still end on a redirecting capture —
+    a longer chain or a redirect LOOP (a->b->a never terminates; the
+    hop bound is the loop guard, same contract as the S3c meta-refresh
+    chain resolver in pipeline.py).
+
+    Plan shape: the redirect map (url -> location, only 3xx rows with
+    a Location) is built once and cached; each hop is ONE equi-join on
+    the current cursor — ``max_hops`` is a fixed constant, so the
+    barrier count is scale-independent while per-hop data stays
+    E-sized.  Rows stop participating (and stop paying joins) once
+    their cursor leaves the redirect map."""
+    if max_hops <= 0:
+        raise ValueError("max_hops must be positive")
+    redirects = (
+        captures.where(
+            F.col(status_col).isin(*_REDIRECT_STATUSES)
+            & F.col(location_col).isNotNull()
+        )
+        .select(F.col(url_col).alias("_cur"), F.col(location_col).alias("_nxt"))
+        .localCheckpoint(eager=True)
+    )
+    state = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("_cur"),
+        F.lit(0).cast("int").alias("n_hops"),
+    )
+    for _ in range(max_hops):
+        state = state.join(redirects, "_cur", "left").select(
+            "url",
+            F.coalesce("_nxt", "_cur").alias("_cur"),
+            (F.col("n_hops") + F.col("_nxt").isNotNull().cast("int")).alias(
+                "n_hops"
+            ),
+        )
+    still = redirects.select(F.col("_cur").alias("_loop"))
+    out = state.join(
+        still, state["_cur"] == still["_loop"], "left"
+    ).select(
+        "url",
+        F.col("_cur").alias("final_url"),
+        "n_hops",
+        F.col("_loop").isNull().alias("resolved"),
+    )
+    return out

@@ -134,3 +134,116 @@ def host_link_graph(
         F.count("*").alias("weight"),
         F.sum(F.col("nofollow").cast("long")).alias("n_nofollow"),
     )
+
+
+CANONICAL_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("canonical", StringType(), True),
+    ]
+)
+
+
+def canonical_of(url: str, payload: bytes) -> Optional[str]:
+    """First ``<link rel="canonical" href=...>`` of a page, resolved
+    against the page URL (F12 urljoin discipline), fragment stripped;
+    None when the page declares no canonical or the HTML will not
+    parse.  Pure function (tests + the vectorized stage)."""
+    from .feedparse.htmlsoup import parse_html_tree
+
+    tree = parse_html_tree(payload)
+    if tree is None:
+        return None
+    for link in tree.iter("link"):
+        rel = (link.get("rel") or "").lower().split()
+        if "canonical" not in rel:
+            continue
+        href = (link.get("href") or "").strip()
+        if not href:
+            continue
+        try:
+            resolved = urljoin(url, href)
+        except ValueError:
+            return None
+        resolved = resolved.split("#", 1)[0]
+        return resolved or None
+    return None
+
+
+def extract_canonicals(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """PAGES -> (url, canonical) via mapInArrow (binary payloads never
+    cross pandas object arrays; only two string columns leave the
+    task).  ``canonical`` is NULL for pages without a declaration —
+    the caller's coalesce(canonical, url) is the dedup cluster key
+    (the rel=canonical duplicate-collapse every production crawl
+    pipeline runs before content dedup)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    src = pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).cast("binary").alias("html")
+    )
+
+    def run(batches: Iterable["pa.RecordBatch"]):
+        out_schema = to_arrow_schema(CANONICAL_SCHEMA)
+        for batch in batches:
+            rows = [
+                {
+                    "url": rec["url"],
+                    "canonical": canonical_of(
+                        rec["url"],
+                        bytes(rec["html"]) if rec["html"] is not None else b"",
+                    ),
+                }
+                for rec in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return src.mapInArrow(run, schema=CANONICAL_SCHEMA)
+
+
+def surt_key(url_col: str = "url"):
+    """Sort-friendly URI Reordering Transform (SURT) — the key every
+    production capture index (CDX/CDXJ) sorts on so one host's (and,
+    with the reversed labels, one registered domain's) captures are
+    CONTIGUOUS: at petabyte index scale a per-site lookup becomes a
+    range scan over sorted shards instead of a full-index filter.
+
+    ``https://WWW.News.Example.com:443/A/b?z=2&a=1#frag`` ->
+    ``com,example,news)/A/b?a=1&z=2``.
+
+    Contract (entirely JVM-side string expressions — codegen, no
+    Python): fragment stripped; scheme dropped; host lowercased,
+    leading ``www.`` removed, default ports (:80/:443) removed, labels
+    reversed and comma-joined; path kept byte-exact (case can be
+    significant on origin servers); query parameters sorted
+    byte-lexicographically (the order-insensitive part of URL
+    equality).  Userinfo is not handled (crawl frontiers reject
+    credentialed URLs upstream)."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    # non-default ports survive AFTER the reversed labels
+    # (org,example:8080)/...) — extracted before reversal so the port
+    # never rides along inside the first label
+    port = F.regexp_extract(host, ":([0-9]+)$", 1)
+    hostname = F.regexp_replace(host, ":[0-9]+$", "")
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(hostname, r"\.")), ","),
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )

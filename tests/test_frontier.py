@@ -135,3 +135,91 @@ def test_discover_frontier_end_to_end(spark):
     assert min(r.staleness_q for r in out if r.host == "b.example") > max(
         r.staleness_q for r in out if r.host == "a.example"
     )
+
+
+class TestCaptureDelta:
+    def _delta(self, spark, old_rows, new_rows):
+        from ffp_spark.frontier import capture_delta
+
+        schema = "url string, digest string"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        return {
+            r.key: r.status for r in capture_delta(old, new).collect()
+        }
+
+    def test_all_four_statuses(self, spark):
+        got = self._delta(
+            spark,
+            [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+            [("u2", "d2"), ("u3", "dX"), ("u4", "d4")],
+        )
+        assert got == {
+            "u1": "removed",
+            "u2": "unchanged",
+            "u3": "changed",
+            "u4": "added",
+        }
+
+    def test_null_digest_is_presence_not_absence(self, spark):
+        """A capture row with a NULL digest is PRESENT: it must never
+        classify as added/removed, and NULL-vs-NULL is unchanged."""
+        got = self._delta(
+            spark,
+            [("u1", None), ("u2", None), ("u3", "d3")],
+            [("u1", None), ("u2", "now"), ("u3", None)],
+        )
+        assert got == {
+            "u1": "unchanged",
+            "u2": "changed",
+            "u3": "changed",
+        }
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, rows, max_hops=4):
+        from ffp_spark.frontier import resolve_redirects
+
+        caps = spark.createDataFrame(
+            rows, "url string, http_status int, location string"
+        )
+        return {
+            r.url: (r.final_url, r.n_hops, r.resolved)
+            for r in resolve_redirects(caps, max_hops=max_hops).collect()
+        }
+
+    def test_chain_collapses_to_final(self, spark):
+        got = self._resolve(
+            spark,
+            [
+                ("a", 301, "b"),
+                ("b", 302, "c"),
+                ("c", 200, None),
+                ("d", 200, None),
+            ],
+        )
+        assert got["a"] == ("c", 2, True)
+        assert got["b"] == ("c", 1, True)
+        assert got["c"] == ("c", 0, True)
+        assert got["d"] == ("d", 0, True)
+
+    def test_loop_hits_hop_budget_unresolved(self, spark):
+        got = self._resolve(
+            spark, [("a", 301, "b"), ("b", 301, "a")], max_hops=3
+        )
+        # 3 hops from a: b -> a -> b; still on a redirecting capture
+        assert got["a"] == ("b", 3, False)
+        assert got["b"] == ("a", 3, False)
+
+    def test_dangling_location_resolves_outside_set(self, spark):
+        """A Location pointing outside the capture set ends the chain
+        (resolved: the cursor no longer redirects)."""
+        got = self._resolve(spark, [("a", 308, "https://gone.example/")])
+        assert got["a"] == ("https://gone.example/", 1, True)
+
+    def test_non_redirect_3xx_without_location_stays(self, spark):
+        got = self._resolve(spark, [("a", 301, None), ("b", 304, "x"),
+                                    ("x", 200, None)])
+        # no Location -> not a redirect row; 304 is not a redirect status
+        assert got["a"] == ("a", 0, True)
+        assert got["b"] == ("b", 0, True)

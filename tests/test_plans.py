@@ -183,3 +183,42 @@ def test_entity_resolution_broadcasts_dictionary_no_nested_loop(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_capture_delta_is_one_join_no_window(spark):
+    # The CDX diff must stay one co-partitioned full outer join + a
+    # codegen CASE: no window (no per-key sort), no nested loop, and
+    # exactly one join even at two-capture web scale.
+    from ffp_spark.frontier import capture_delta
+
+    old = spark.range(1000).selectExpr(
+        "concat('u', id) AS url", "md5(CAST(id AS STRING)) AS digest"
+    )
+    new = spark.range(500, 1500).selectExpr(
+        "concat('u', id) AS url", "md5(CAST(id + 7 AS STRING)) AS digest"
+    )
+    plan = _plan(capture_delta(old, new))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_resolve_redirects_join_count_is_hop_budget(spark):
+    # Each hop is ONE equi-join on the cursor; the barrier count is the
+    # fixed max_hops constant (plus the final still-redirecting probe),
+    # never data-dependent.
+    from ffp_spark.frontier import resolve_redirects
+
+    caps = spark.range(100).selectExpr(
+        "concat('u', id) AS url",
+        "CASE WHEN id % 3 = 1 THEN 301 ELSE 200 END AS http_status",
+        "CASE WHEN id % 3 = 1 THEN concat('u', id - 1) END AS location",
+    )
+    plan = _plan(resolve_redirects(caps, max_hops=3))
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins == 4, plan  # 3 hops + 1 resolved-probe
+    assert "CartesianProduct" not in plan, plan

@@ -66,3 +66,109 @@ def test_host_link_graph_weights_and_flags(spark):
         ).collect()
     }
     assert g2 == {("a.example", "b.example")}
+
+
+class TestCanonicalOf:
+    def test_absolute_relative_and_fragment(self):
+        from ffp_spark.weblinks import canonical_of
+
+        page = "https://a.example/doc/44"
+        assert canonical_of(
+            page, b'<link rel="canonical" href="https://b.example/p#frag">'
+        ) == "https://b.example/p"
+        assert canonical_of(
+            page, b'<head><link rel="canonical" href="/doc/42"></head>'
+        ) == "https://a.example/doc/42"
+
+    def test_none_when_absent_or_unparseable(self):
+        from ffp_spark.weblinks import canonical_of
+
+        page = "https://a.example/"
+        assert canonical_of(page, b"<html><head></head></html>") is None
+        assert canonical_of(page, b"") is None
+        # stylesheet links and anchors are not canonicals
+        assert canonical_of(
+            page,
+            b'<link rel="stylesheet" href="/s.css"><a href="/x">x</a>',
+        ) is None
+
+    def test_rel_token_list_and_case(self):
+        from ffp_spark.weblinks import canonical_of
+
+        assert canonical_of(
+            "https://a.example/", b'<link REL="Canonical alternate" href="/x">'
+        ) == "https://a.example/x"
+
+    def test_first_declaration_wins(self):
+        from ffp_spark.weblinks import canonical_of
+
+        html = (
+            b'<link rel="canonical" href="/first">'
+            b'<link rel="canonical" href="/second">'
+        )
+        assert canonical_of("https://a.example/", html) == "https://a.example/first"
+
+
+def test_extract_canonicals_stage(spark):
+    from ffp_spark.weblinks import extract_canonicals
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/v1",
+             b'<head><link rel="canonical" href="/main"></head>'),
+            ("https://a.example/main", b"<html><body>no decl</body></html>"),
+        ],
+        "url string, html binary",
+    )
+    got = {r.url: r.canonical for r in extract_canonicals(pages).collect()}
+    assert got == {
+        "https://a.example/v1": "https://a.example/main",
+        "https://a.example/main": None,
+    }
+
+
+class TestSurtKey:
+    def _surt(self, spark, url):
+        from ffp_spark.weblinks import surt_key
+
+        df = spark.createDataFrame([(url,)], "url string")
+        return df.select(surt_key("url").alias("s")).collect()[0].s
+
+    def test_full_messy_url(self, spark):
+        assert (
+            self._surt(
+                spark, "HTTPS://WWW.News.Example.com:443/A/b?z=2&a=1#frag"
+            )
+            == "com,example,news)/A/b?a=1&z=2"
+        )
+
+    def test_empty_path_and_default_port(self, spark):
+        assert self._surt(spark, "http://example.com:80") == "com,example)/"
+        assert self._surt(spark, "https://sub.example.org/") == "org,example,sub)/"
+
+    def test_non_default_port_kept(self, spark):
+        assert self._surt(spark, "http://example.com:8080/x") == "com,example:8080)/x"
+
+    def test_path_case_preserved_query_sorted(self, spark):
+        assert (
+            self._surt(spark, "https://Example.com/CaseSensitive?b=1&B=0")
+            == "com,example)/CaseSensitive?B=0&b=1"
+        )
+
+    def test_sort_contiguity(self, spark):
+        """The property SURT exists for: one registered domain's pages
+        sort CONTIGUOUSLY even across hosts and schemes."""
+        from ffp_spark.weblinks import surt_key
+
+        urls = [
+            "https://a.example.com/1",
+            "https://zz-unrelated.org/x",
+            "http://b.example.com/2",
+            "https://example.com/root",
+            "https://aardvark.net/y",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r.s for r in df.select(surt_key("url").alias("s")).orderBy("s").collect()]
+        in_domain = [s for s in got if s.startswith("com,example")]
+        lo, hi = got.index(in_domain[0]), got.index(in_domain[-1])
+        assert hi - lo + 1 == len(in_domain) == 3
