@@ -2722,6 +2722,208 @@ ORDER BY source, status
 """
 
 
+def _q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction (domains.host_domains):
+    the host->registrable-domain quotient every per-site rollup at
+    crawl scale is keyed on, with full Public Suffix List semantics —
+    normal rules, wildcard rules (*.ck, *.kawasaki.jp), exception
+    rules (!www.ck, !city.kawasaki.jp), most-labels prevailing-match,
+    and the implicit ``*`` fallback.  Synthesized hosts cover every
+    rule class plus mixed case, a deep subdomain, an unknown TLD, and
+    hosts that ARE a public suffix (NULL registrable domain).  The
+    oracle replays the published lookup algorithm independently with
+    DuckDB list functions: candidate suffix generation, the
+    wildcard's extra-label requirement, exception-beats-longest
+    prevailing, and the final label slices."""
+    from ffp_spark.domains import host_domains
+
+    _t(spark, sf_dir, "documents")
+    hosts = spark.sql("""
+        SELECT DISTINCT
+          CASE CAST(doc_id % 8 AS INT)
+            WHEN 0 THEN concat(upper(source), '.Example.COM')
+            WHEN 1 THEN concat('www.', source, '.blog.co.uk')
+            WHEN 2 THEN concat(source, '.city.kawasaki.jp')
+            WHEN 3 THEN 'www.ck'
+            WHEN 4 THEN concat(source, '.shop.ck')
+            WHEN 5 THEN concat(source, '.internal')
+            WHEN 6 THEN 'co.uk'
+            ELSE concat('a.b.', source, '.com')
+          END AS host
+        FROM documents
+    """)
+    return host_domains(hosts).orderBy("host")
+
+
+def _registered_domains_oracle() -> str:
+    from ffp_spark.domains import parse_psl_rules
+
+    rows = parse_psl_rules()
+    max_k = max(r["rule_labels"] for r in rows)
+    vals = ",\n  ".join(
+        "('%s', '%s', %d, %d, %d)"
+        % (r["kind"], r["key"], r["rule_labels"], r["ps_labels"], int(r["is_exc"]))
+        for r in rows
+    )
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT lower(CASE doc_id % 8
+    WHEN 0 THEN upper(source) || '.Example.COM'
+    WHEN 1 THEN 'www.' || source || '.blog.co.uk'
+    WHEN 2 THEN source || '.city.kawasaki.jp'
+    WHEN 3 THEN 'www.ck'
+    WHEN 4 THEN source || '.shop.ck'
+    WHEN 5 THEN source || '.internal'
+    WHEN 6 THEN 'co.uk'
+    ELSE 'a.b.' || source || '.com'
+  END) AS host
+  FROM documents
+),
+base AS (
+  SELECT host, string_split(host, '.') AS ls,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+),
+cand AS (
+  SELECT host, n, k,
+         array_to_string(list_slice(ls, n - k + 1, n), '.') AS suffix
+  FROM base, UNNEST(generate_series(1, least(n, {max_k}))) AS t(k)
+),
+rules(kind, key, rl, ps, exc) AS (VALUES
+  {vals}
+),
+m AS (
+  SELECT c.host,
+         max(struct_pack(exc := r.exc, rl := r.rl, ps := r.ps)) AS mv
+  FROM cand c JOIN rules r
+    ON ((r.kind = 'exact' AND c.suffix = r.key)
+        OR (r.kind = 'wild' AND c.suffix = r.key AND c.n > c.k))
+  GROUP BY c.host
+),
+sel AS (
+  SELECT b.host, b.ls, b.n, coalesce(m.mv.ps, 1) AS p
+  FROM base b LEFT JOIN m ON m.host = b.host
+)
+SELECT host,
+       array_to_string(list_slice(ls, n - p + 1, n), '.') AS public_suffix,
+       CASE WHEN n > p
+            THEN array_to_string(list_slice(ls, n - p, n), '.')
+       END AS registered_domain
+FROM sel
+ORDER BY host
+"""
+
+
+_ORACLE_ONLY["registered_domains"] = _registered_domains_oracle()
+
+
+def _q_domain_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level web graph (domains.domain_link_graph): host-level
+    edges re-keyed onto the registrable domain — 7 synthetic hosts
+    per source collapse onto ``<source>.co.uk``, 5 subdomain hosts
+    per target collapse onto ``site<k>.github.io`` (github.io is a
+    PSL rule, so every subdomain is its own site's subhost), and a
+    doc_id%13 stripe links straight to the bare ``github.io`` suffix
+    to pin the coalesce-to-self contract for public-suffix hosts.
+    The oracle replays the quotient in closed form (the expected
+    domain of every synthesized host is arithmetic) — independent of
+    the PSL join the implementation actually runs."""
+    from ffp_spark.domains import domain_link_graph
+
+    _t(spark, sf_dir, "documents")
+    edges = spark.sql("""
+        SELECT concat('h', doc_id % 7, '.', source, '.co.uk') AS src_host,
+               CASE WHEN doc_id % 13 = 0 THEN 'github.io'
+                    ELSE concat('w', doc_id * 3 % 5, '.site', doc_id % 11,
+                                '.github.io')
+               END AS dst_host,
+               CAST(1 + doc_id % 4 AS BIGINT) AS weight
+        FROM documents
+    """)
+    return domain_link_graph(edges).orderBy("src_domain", "dst_domain")
+
+
+_ORACLE_ONLY["domain_link_graph"] = """
+WITH e AS (
+  SELECT source || '.co.uk' AS src_domain,
+         CASE WHEN doc_id % 13 = 0 THEN 'github.io'
+              ELSE 'site' || (doc_id % 11) || '.github.io' END AS dst_domain,
+         1 + doc_id % 4 AS w
+  FROM documents
+)
+SELECT src_domain, dst_domain,
+       CAST(sum(w) AS BIGINT) AS weight,
+       count(*) AS n_host_pairs
+FROM e
+GROUP BY src_domain, dst_domain
+ORDER BY src_domain, dst_domain
+"""
+
+
+def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (weblinks.anchor_text_index): what the rest
+    of the web calls a page — the classic search/KG entity-naming
+    signal.  Every doc links its target (t<doc_id%13>) twice: once
+    with the noise anchor 'Click here' (tripled on even ids, so
+    n_links > n_pages pins the distinct-page count) and once with a
+    branded anchor 'Brand <doc_id%3>'; top-3 per target ranks the
+    noise anchor first and breaks Brand count ties by anchor text.
+    DuckDB replays the counts and the partitioned row_number."""
+    from ffp_spark.weblinks import anchor_text_index, extract_links
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><body>',
+                      '<a href="https://t', doc_id % 13, '.example/">',
+                      'Click here</a>',
+                      CASE WHEN doc_id % 2 = 0 THEN
+                        concat('<a href="https://t', doc_id % 13,
+                               '.example/">Click  here</a>')
+                      ELSE '' END,
+                      '<a href="https://t', doc_id % 13, '.example/">',
+                      'Brand ', doc_id % 3, '</a>',
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    links = extract_links(pages, html_col="body")
+    return anchor_text_index(links, k=3).orderBy("target", "rank")
+
+
+_ORACLE_ONLY["anchor_text_index"] = """
+WITH l AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+         'https://t' || (doc_id % 13) || '.example/' AS target,
+         'Click here' AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example/doc/' || doc_id,
+         'https://t' || (doc_id % 13) || '.example/',
+         'Click here'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://' || source || '.example/doc/' || doc_id,
+         'https://t' || (doc_id % 13) || '.example/',
+         'Brand ' || (doc_id % 3)
+  FROM documents
+),
+c AS (
+  SELECT target, anchor, count(*) AS n_links,
+         count(DISTINCT url) AS n_pages
+  FROM l GROUP BY target, anchor
+),
+r AS (
+  SELECT target, anchor, n_links, n_pages,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY n_links DESC, anchor ASC) AS rk
+  FROM c
+)
+SELECT target, CAST(rk AS INTEGER) AS rank, anchor, n_links, n_pages
+FROM r WHERE rk <= 3
+ORDER BY target, rank
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -6909,6 +7111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["crawl_capture_delta"] = _q_crawl_capture_delta
     all_q["redirect_chains"] = _q_redirect_chains
     all_q["host_pagerank"] = _q_host_pagerank
+    all_q["registered_domains"] = _q_registered_domains
+    all_q["domain_link_graph"] = _q_domain_link_graph
+    all_q["anchor_text_index"] = _q_anchor_text_index
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -205,6 +205,42 @@ def extract_canonicals(
     return src.mapInArrow(run, schema=CANONICAL_SCHEMA)
 
 
+def anchor_text_index(
+    links: DataFrame, target_col: str = "href", k: int = 3
+) -> DataFrame:
+    """LINKS -> the top-``k`` anchor texts per link TARGET: the
+    classic web-search / KG entity-naming signal (what the rest of
+    the web calls a page beats what the page calls itself).
+
+    Per (target, anchor): ``n_links`` (total mentions) and
+    ``n_pages`` (distinct linking pages — the spam-resistant count);
+    rank by n_links desc with anchor text as the deterministic
+    tiebreak.  Plan: one (target, anchor)-keyed agg (map-side
+    partial + distinct-expand for n_pages), then a row_number window
+    PARTITIONED BY target — never a global sort; per-target fan-in
+    is bounded by distinct anchor texts, and the heavy collapse
+    (billions of links -> per-text counts) happens before the
+    window ever runs."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        links.where(F.col("anchor").isNotNull())
+        .groupBy(F.col(target_col).alias("target"), "anchor")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("url").alias("n_pages"),
+        )
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("target", "rank", "anchor", "n_links", "n_pages")
+    )
+
+
 def surt_key(url_col: str = "url"):
     """Sort-friendly URI Reordering Transform (SURT) — the key every
     production capture index (CDX/CDXJ) sorts on so one host's (and,

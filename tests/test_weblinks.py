@@ -172,3 +172,49 @@ class TestSurtKey:
         in_domain = [s for s in got if s.startswith("com,example")]
         lo, hi = got.index(in_domain[0]), got.index(in_domain[-1])
         assert hi - lo + 1 == len(in_domain) == 3
+
+
+class TestAnchorTextIndex:
+    def _links(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, href string, anchor string, nofollow boolean"
+        )
+
+    def test_topk_rank_counts_and_tiebreak(self, spark):
+        from ffp_spark.weblinks import anchor_text_index
+
+        rows = (
+            # target T: "Click here" x3 from 2 pages, brands 1x each
+            [("https://p1/", "https://T/", "Click here", False)] * 2
+            + [
+                ("https://p2/", "https://T/", "Click here", False),
+                ("https://p1/", "https://T/", "Beta", False),
+                ("https://p2/", "https://T/", "Alpha", False),
+                ("https://p3/", "https://T/", "Gamma", False),
+                # another target entirely
+                ("https://p1/", "https://U/", "Only one", False),
+            ]
+        )
+        got = [
+            (r.target, r.rank, r.anchor, r.n_links, r.n_pages)
+            for r in anchor_text_index(self._links(spark, rows), k=3)
+            .orderBy("target", "rank")
+            .collect()
+        ]
+        assert got == [
+            # count-tied brands break by anchor text asc; Gamma is cut by k=3
+            ("https://T/", 1, "Click here", 3, 2),
+            ("https://T/", 2, "Alpha", 1, 1),
+            ("https://T/", 3, "Beta", 1, 1),
+            ("https://U/", 1, "Only one", 1, 1),
+        ]
+
+    def test_null_anchors_excluded(self, spark):
+        from ffp_spark.weblinks import anchor_text_index
+
+        rows = [
+            ("https://p1/", "https://T/", None, False),
+            ("https://p1/", "https://T/", "real", False),
+        ]
+        got = anchor_text_index(self._links(spark, rows), k=5).collect()
+        assert [(r.anchor, r.n_links) for r in got] == [("real", 1)]
