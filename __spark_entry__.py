@@ -2924,6 +2924,102 @@ ORDER BY target, rank
 """
 
 
+def _q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit semantics (frontier.capture_revisits): the first
+    capture of each payload digest stays a full response; every later
+    capture of the same payload — recrawl-unchanged or a cross-URL
+    mirror — becomes a revisit pointing at the original (the
+    WARC-Refers-To dedup contract that saves most of a crawl
+    archive's bytes).  125 URLs captured 4x each with digests striped
+    doc_id%37 (coprime with the URL stripe, so digest groups cross
+    URLs: real mirrors).  The implementation is a digest-keyed
+    min(struct) + join-back (no window); the oracle replays it as a
+    PARTITIONED row_number + first_value window — an independent plan
+    shape for the same keep-first semantics."""
+    from ffp_spark.frontier import capture_revisits
+
+    _t(spark, sf_dir, "documents")
+    caps = spark.sql("""
+        SELECT concat('https://', source, '.example/p/', doc_id % 125) AS url,
+               CAST(1500000000000 + doc_id * 1000 AS BIGINT) AS ts,
+               concat('sha1:', doc_id % 37) AS digest
+        FROM documents
+    """)
+    return capture_revisits(caps).orderBy("url", "ts")
+
+
+_ORACLE_ONLY["warc_revisit_dedup"] = """
+WITH cap AS (
+  SELECT 'https://' || source || '.example/p/' || (doc_id % 125) AS url,
+         1500000000000 + doc_id * 1000 AS ts,
+         'sha1:' || (doc_id % 37) AS digest
+  FROM documents
+),
+r AS (
+  SELECT url, ts, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY ts, url) AS rn,
+         first_value(url) OVER (PARTITION BY digest ORDER BY ts, url) AS fu,
+         first_value(ts) OVER (PARTITION BY digest ORDER BY ts, url) AS ft
+  FROM cap
+)
+SELECT url, CAST(ts AS BIGINT) AS ts, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN rn = 1 THEN NULL ELSE fu END AS refers_to_url,
+       CAST(CASE WHEN rn = 1 THEN NULL ELSE ft END AS BIGINT) AS refers_to_ts
+FROM r
+ORDER BY url, ts
+"""
+
+
+def _q_wet_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style plain-text extraction (wet.wet_records): HTML ->
+    text records with script/style payloads dropped, block elements
+    as line breaks, inline elements flowing, per-line whitespace
+    collapse — the crawl-archive text tier every curation operator
+    downstream consumes.  Pages carry a title, a script+style pair
+    the extractor must NOT leak, an h1 with collapsible whitespace,
+    a variable-length paragraph (repeat-count doc_id%6, so
+    n_words/n_chars are non-constant), an empty paragraph (dropped
+    line), and an inline span flowing into its div line.  The oracle
+    rebuilds the exact expected text with chr(10) joins and derives
+    the counts from THAT string."""
+    from ffp_spark.wet import wet_records
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><head><title>Doc ', doc_id, '</title>',
+                      '<script>var x = ', doc_id, ';</script>',
+                      '<style>p{color:red}</style></head>',
+                      '<body><h1>Heading  ', doc_id % 9, '</h1>',
+                      '<p>alpha   bravo ', doc_id,
+                      repeat(' lorem', CAST(doc_id % 6 AS INT)), '</p>',
+                      '<p></p>',
+                      '<div>tail ', doc_id % 4, '<span> inline</span></div>',
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    return wet_records(pages, html_col="body").orderBy("url")
+
+
+_ORACLE_ONLY["wet_text_stats"] = """
+WITH w AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+         'Doc ' || doc_id || chr(10) ||
+         'Heading ' || (doc_id % 9) || chr(10) ||
+         'alpha bravo ' || doc_id || repeat(' lorem', doc_id % 6) || chr(10) ||
+         'tail ' || (doc_id % 4) || ' inline' AS text
+  FROM documents
+)
+SELECT url, text,
+       CAST(len(string_split(replace(text, chr(10), ' '), ' '))
+            AS INTEGER) AS n_words,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM w
+ORDER BY url
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7114,6 +7210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["registered_domains"] = _q_registered_domains
     all_q["domain_link_graph"] = _q_domain_link_graph
     all_q["anchor_text_index"] = _q_anchor_text_index
+    all_q["warc_revisit_dedup"] = _q_warc_revisit_dedup
+    all_q["wet_text_stats"] = _q_wet_text_stats
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -187,6 +187,50 @@ def capture_delta(
     return j.select("key", status.alias("status"), "old_digest", "new_digest")
 
 
+def capture_revisits(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Digest-keyed capture dedup with WARC *revisit* semantics: the
+    first capture of each payload digest (by timestamp, then URL — a
+    total, deterministic order) stays a full ``response``; every
+    later capture of the SAME payload — a recrawl that got identical
+    bytes, or a mirror under a different URL — becomes a ``revisit``
+    that points at the original (the WARC-Refers-To contract big
+    crawl archives use to store a hash instead of the body; at
+    CommonCrawl scale this is most of the dedup savings).
+
+    Output: input key columns + (kind, refers_to_url, refers_to_ts);
+    refers_to_* are NULL on the responses themselves.
+
+    Plan: keep-first = ONE digest-keyed min(struct(ts, url)) aggregate
+    (map-side partials collapse before the shuffle) joined back on the
+    digest — the paragraph_dedup idiom, never a corpus-wide window
+    sort."""
+    c = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    )
+    originals = c.groupBy("digest").agg(
+        F.min(F.struct(F.col("ts"), F.col("url"))).alias("_o")
+    )
+    j = c.join(originals, "digest")
+    is_first = (F.col("ts") == F.col("_o.ts")) & (F.col("url") == F.col("_o.url"))
+    return j.select(
+        "url",
+        "ts",
+        "digest",
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "kind"
+        ),
+        F.when(~is_first, F.col("_o.url")).alias("refers_to_url"),
+        F.when(~is_first, F.col("_o.ts")).alias("refers_to_ts"),
+    )
+
+
 _REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 
 

@@ -223,3 +223,39 @@ class TestResolveRedirects:
         # no Location -> not a redirect row; 304 is not a redirect status
         assert got["a"] == ("a", 0, True)
         assert got["b"] == ("b", 0, True)
+
+
+class TestCaptureRevisits:
+    def test_first_by_ts_then_url_is_response(self, spark):
+        from ffp_spark.frontier import capture_revisits
+
+        caps = spark.createDataFrame(
+            [
+                # same digest across two URLs + a recrawl of the first
+                ("https://a/", 100, "d1"),
+                ("https://mirror/", 100, "d1"),  # ts tie -> url breaks it
+                ("https://a/", 200, "d1"),
+                # unique digest
+                ("https://b/", 150, "d2"),
+            ],
+            "url string, ts long, digest string",
+        )
+        got = {
+            (r.url, r.ts): (r.kind, r.refers_to_url, r.refers_to_ts)
+            for r in capture_revisits(caps).collect()
+        }
+        assert got == {
+            ("https://a/", 100): ("response", None, None),
+            ("https://mirror/", 100): ("revisit", "https://a/", 100),
+            ("https://a/", 200): ("revisit", "https://a/", 100),
+            ("https://b/", 150): ("response", None, None),
+        }
+
+    def test_no_window_in_plan(self, spark):
+        from ffp_spark.frontier import capture_revisits
+
+        caps = spark.createDataFrame(
+            [("https://a/", 1, "d")], "url string, ts long, digest string"
+        )
+        plan = capture_revisits(caps)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # keep-first is an agg, not a window sort
