@@ -3020,6 +3020,99 @@ ORDER BY url
 """
 
 
+def _q_wat_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style metadata extraction (wat.wat_records) — the third
+    leg of the WARC/WAT/WET triple: per-page title (whitespace
+    collapsed), first meta description (name matched
+    case-insensitively — synthesized as 'Description'), and
+    outlink/image/script counts, with an empty-href anchor the link
+    count must NOT include.  All five metadata fields vary with
+    doc_id arithmetic; the oracle is pure closed form."""
+    from ffp_spark.wat import wat_records
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><head><title>Page  ', doc_id, '</title>',
+                      CASE WHEN doc_id % 5 != 0 THEN
+                        concat('<meta name="Description" content="summary ',
+                               doc_id % 13, '">')
+                      ELSE '' END,
+                      '</head><body>',
+                      repeat('<a href="/l">x</a>', CAST(doc_id % 4 AS INT)),
+                      '<a href="">empty</a>',
+                      repeat('<img src="i.png">', CAST(doc_id % 3 AS INT)),
+                      CASE WHEN doc_id % 7 = 0
+                           THEN '<script>s()</script>' ELSE '' END,
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    return wat_records(pages, html_col="body").orderBy("url")
+
+
+_ORACLE_ONLY["wat_metadata_stats"] = """
+SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+       'Page ' || doc_id AS title,
+       CASE WHEN doc_id % 5 != 0
+            THEN 'summary ' || (doc_id % 13) END AS meta_description,
+       CAST(doc_id % 4 AS INTEGER) AS n_links,
+       CAST(doc_id % 3 AS INTEGER) AS n_images,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_scripts
+FROM documents
+ORDER BY url
+"""
+
+
+def _q_domain_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion->curation bridge composed across three round-6
+    tiers: synthesized pages -> wet.wet_records (Arrow soup hop) ->
+    host extraction -> domains.host_domains (PSL broadcast join) ->
+    per-REGISTRABLE-DOMAIN text rollup (docs, words, chars) — 'per
+    site' statistics the way a real corpus data card keys them (3
+    hosts per source collapse onto one <source>.co.uk domain).  The
+    oracle is closed-form arithmetic, independent of the soup parser
+    AND the PSL join."""
+    from ffp_spark.domains import host_domains
+    from ffp_spark.frontier import host_of
+    from ffp_spark.wet import wet_records
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://h', doc_id % 3, '.', source, '.co.uk/d/',
+                      doc_id) AS url,
+               concat('<p>words ', doc_id,
+                      repeat(' tok', CAST(doc_id % 5 AS INT)), '</p>') AS body
+        FROM documents
+    """)
+    wet = wet_records(pages, html_col="body").withColumn(
+        "host", host_of("url")
+    )
+    dmap = host_domains(wet.select("host"))
+    return (
+        wet.join(dmap.select("host", "registered_domain"), "host")
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words_total"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
+_ORACLE_ONLY["domain_text_stats"] = """
+SELECT source || '.co.uk' AS registered_domain,
+       count(*) AS n_docs,
+       CAST(sum(2 + doc_id % 5) AS BIGINT) AS words_total,
+       CAST(sum(length('words ' || doc_id) + 4 * (doc_id % 5)) AS BIGINT)
+         AS chars_total
+FROM documents
+GROUP BY source
+ORDER BY registered_domain
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7212,6 +7305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["anchor_text_index"] = _q_anchor_text_index
     all_q["warc_revisit_dedup"] = _q_warc_revisit_dedup
     all_q["wet_text_stats"] = _q_wet_text_stats
+    all_q["wat_metadata_stats"] = _q_wat_metadata_stats
+    all_q["domain_text_stats"] = _q_domain_text_stats
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
