@@ -3113,6 +3113,54 @@ ORDER BY registered_domain
 """
 
 
+def _q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional crawl-budget allocation
+    (frontier.allocate_budget): 100k fetches split across 50 domains
+    by largest-remainder (Hamilton) apportionment over integer
+    importance scores — allocations sum EXACTLY to the budget, the
+    leftover going to the largest fractional remainders with the
+    domain key as tiebreak.  The implementation ranks remainders with
+    the two-phase bucket rank (only bucket totals cross a single
+    partition); the oracle replays it as ONE global row_number window
+    — an independent plan for the same integer arithmetic."""
+    from ffp_spark.frontier import allocate_budget
+
+    _t(spark, sf_dir, "documents")
+    scores = spark.sql("""
+        SELECT concat('d', doc_id % 50, '.example') AS domain,
+               CAST(sum(1 + doc_id % 97) AS BIGINT) AS score
+        FROM documents GROUP BY doc_id % 50
+    """)
+    return allocate_budget(scores, 100000).orderBy("domain")
+
+
+_ORACLE_ONLY["crawl_budget_allocation"] = """
+WITH s AS (
+  SELECT 'd' || (doc_id % 50) || '.example' AS domain,
+         CAST(sum(1 + doc_id % 97) AS BIGINT) AS score
+  FROM documents GROUP BY doc_id % 50
+),
+t AS (SELECT sum(score) AS S FROM s),
+b AS (
+  SELECT domain, score,
+         (100000 * score) // (SELECT S FROM t) AS base,
+         (100000 * score) % (SELECT S FROM t) AS rem
+  FROM s
+),
+lv AS (SELECT 100000 - sum(base) AS lft FROM b),
+r AS (
+  SELECT domain, score, base, rem,
+         row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+  FROM b
+)
+SELECT domain, score,
+       CAST(base + CASE WHEN rk <= (SELECT lft FROM lv) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+ORDER BY domain
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7307,6 +7355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["wet_text_stats"] = _q_wet_text_stats
     all_q["wat_metadata_stats"] = _q_wat_metadata_stats
     all_q["domain_text_stats"] = _q_domain_text_stats
+    all_q["crawl_budget_allocation"] = _q_crawl_budget_allocation
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

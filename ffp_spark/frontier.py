@@ -187,6 +187,75 @@ def capture_delta(
     return j.select("key", status.alias("status"), "old_digest", "new_digest")
 
 
+def allocate_budget(
+    scores: DataFrame,
+    total_budget: int,
+    key_col: str = "domain",
+    score_col: str = "score",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Proportional crawl-budget allocation by largest remainder
+    (Hamilton's method): each key gets floor(budget * score / S)
+    fetches, and the leftover (< #keys) goes to the largest
+    fractional remainders, ties broken by key — the crawl-planning
+    step that turns domain importance scores (PageRank mass, quota
+    policy) into integer per-domain fetch budgets that sum EXACTLY
+    to the total.  Pure integer arithmetic throughout — exact
+    cross-engine.
+
+    Scale shape: totals come from single-row aggregates crossJoined
+    back (never a driver collect); the remainder ranking is the
+    two-phase distributed rank (packing.py idiom) — remainders
+    bucket by value range, only the <= ``n_buckets+1`` bucket
+    TOTALS cross a single-partition window, and the per-row rank is
+    a bucket-partitioned window.  A naive global row_number here
+    would funnel every domain through one task.
+
+    Requires sum(score) > 0 (ANSI division fails loudly otherwise)
+    and budget * max(score) < 2^63."""
+    budget = F.lit(int(total_budget)).cast("long")
+    s = scores.select(
+        F.col(key_col).alias("key"), F.col(score_col).cast("long").alias("score")
+    )
+    tot = s.agg(F.sum("score").alias("_S"))
+    j = s.crossJoin(F.broadcast(tot))
+    j = j.select(
+        "key",
+        "score",
+        "_S",
+        F.expr("(CAST({b} AS BIGINT) * score) div _S".format(b=int(total_budget))).alias(
+            "base"
+        ),
+        ((budget * F.col("score")) % F.col("_S")).alias("rem"),
+    )
+    left = j.agg((budget - F.sum("base")).alias("_left"))
+    j = j.crossJoin(F.broadcast(left))
+    # two-phase rank of (rem DESC, key ASC): value-range buckets,
+    # bucket totals through the (bounded) single-partition window
+    j = j.withColumn(
+        "_bkt", F.expr(f"rem div (_S div {int(n_buckets)} + 1)")
+    )
+    per_bucket = j.groupBy("_bkt").agg(F.count("*").alias("_bn"))
+    w_b = Window.orderBy(F.desc("_bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(F.desc("rem"), F.asc("key"))
+    ranked = j.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_rank", F.col("_off") + F.row_number().over(w_in)
+    )
+    return ranked.select(
+        F.col("key").alias(key_col),
+        F.col("score").alias(score_col),
+        (
+            F.col("base")
+            + (F.col("_rank") <= F.col("_left")).cast("long")
+        ).alias("alloc"),
+    )
+
+
 def capture_revisits(
     captures: DataFrame,
     url_col: str = "url",

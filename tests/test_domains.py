@@ -110,3 +110,61 @@ def test_custom_rules_passthrough(spark):
     out = host_domains(df, rules=("b.custom",)).collect()[0]
     assert (out.public_suffix, out.registered_domain) == ("b.custom", "a.b.custom")
     assert PSL_SNIPPET  # bundled default stays non-empty
+
+
+def _psl_lookup_py(host: str, rules):
+    """Pure-Python third implementation of the publicsuffix.org
+    lookup (string-walk, no lists-of-candidates): independent of both
+    the Spark plan and the DuckDB oracle formulation."""
+    host = host.lower()
+    labels = host.split(".")
+    exc_rule = None
+    best = None  # (rule_labels, ps_labels)
+    for r in rules:
+        r = r.lower()
+        if r.startswith("!"):
+            name = r[1:].split(".")
+            if labels[-len(name):] == name:
+                exc_rule = (len(name), len(name) - 1)
+        elif r.startswith("*."):
+            base = r[2:].split(".")
+            if len(labels) > len(base) and labels[-len(base):] == base:
+                cand = (len(base) + 1, len(base) + 1)
+                if best is None or cand[0] > best[0]:
+                    best = cand
+        else:
+            name = r.split(".")
+            if labels[-len(name):] == name:
+                cand = (len(name), len(name))
+                if best is None or cand[0] > best[0]:
+                    best = cand
+    rule = exc_rule or best or (1, 1)
+    ps = rule[1]
+    suffix = ".".join(labels[-ps:])
+    reg = ".".join(labels[-(ps + 1):]) if len(labels) > ps else None
+    return suffix, reg
+
+
+def test_matches_python_reference_on_generated_matrix(spark):
+    """host_domains vs the pure-Python walk over a deterministic
+    144-host matrix mixing every TLD in the snippet with 0-3
+    subdomain labels and www/case variants."""
+    import itertools
+
+    tlds = [
+        "com", "co.uk", "uk", "ck", "shop.ck", "www.ck", "kawasaki.jp",
+        "city.kawasaki.jp", "x.kawasaki.jp", "github.io", "internal", "jp",
+    ]
+    subs = ["", "a.", "www.", "B.a.", "deep.b.a.", "WWW.x."]
+    stems = ["site", "Example"]
+    hosts = [
+        f"{s}{stem}.{t}" for s, t, stem in itertools.product(subs, tlds, stems)
+    ] + tlds  # bare suffixes too
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: (r.public_suffix, r.registered_domain)
+        for r in host_domains(df).collect()
+    }
+    assert len(got) == len(set(h.lower() for h in hosts))
+    for h in hosts:
+        assert got[h.lower()] == _psl_lookup_py(h, PSL_SNIPPET), h

@@ -259,3 +259,45 @@ class TestCaptureRevisits:
         )
         plan = capture_revisits(caps)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan  # keep-first is an agg, not a window sort
+
+
+class TestAllocateBudget:
+    def test_conservation_and_python_reference(self, spark):
+        from ffp_spark.frontier import allocate_budget
+
+        rows = [(f"d{i}", 1 + (i * 7) % 13) for i in range(40)]
+        df = spark.createDataFrame(rows, "domain string, score long")
+        got = {r.domain: r.alloc for r in allocate_budget(df, 997).collect()}
+        assert sum(got.values()) == 997  # exact conservation
+        # pure-Python Hamilton reference
+        S = sum(s for _, s in rows)
+        base = {k: 997 * s // S for k, s in rows}
+        left = 997 - sum(base.values())
+        order = sorted(rows, key=lambda t: (-((997 * t[1]) % S), t[0]))
+        extras = {k for k, _ in order[:left]}
+        assert got == {k: base[k] + (k in extras) for k, _ in rows}
+
+    def test_zero_scores_get_nothing_unless_remainder(self, spark):
+        from ffp_spark.frontier import allocate_budget
+
+        df = spark.createDataFrame(
+            [("a", 3), ("b", 0), ("c", 1)], "domain string, score long"
+        )
+        got = {r.domain: r.alloc for r in allocate_budget(df, 8).collect()}
+        # S=4: a=6, c=2 exactly; zero-score b has rem 0 -> gets 0
+        assert got == {"a": 6, "b": 0, "c": 2}
+
+    def test_two_phase_rank_plan(self, spark):
+        from ffp_spark.frontier import allocate_budget
+
+        df = spark.createDataFrame(
+            [(f"d{i}", i + 1) for i in range(10)], "domain string, score long"
+        )
+        plan = (
+            allocate_budget(df, 100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the per-row rank window must stay bucket-partitioned; only
+        # the bounded bucket-totals window may funnel to one partition
+        assert "Window [" in plan
+        assert plan.count("row_number()") == 1
