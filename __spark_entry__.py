@@ -3161,6 +3161,50 @@ ORDER BY domain
 """
 
 
+def _q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive extraction from robots.txt
+    (sitemaps.sitemap_urls_from_robots) — the discovery handshake
+    robots -> sitemaps -> frontier.  Each doc is a host whose robots
+    body carries a UA group (distractor), a standard Sitemap line, a
+    case/whitespace-variant 'sitemap :' line on doc_id%3==0, and a
+    commented-out Sitemap mention that must NOT emit.  DuckDB replays
+    the line arithmetic in closed form."""
+    from ffp_spark.sitemaps import sitemap_urls_from_robots
+
+    _t(spark, sf_dir, "documents")
+    robots = spark.sql("""
+        SELECT concat('h', doc_id, '.example') AS host,
+               concat('# robots for ', doc_id, chr(10),
+                      'User-agent: *', chr(10),
+                      'Disallow: /private', chr(10),
+                      'Sitemap: https://h', doc_id, '.example/sm-0.xml',
+                      chr(10),
+                      CASE WHEN doc_id % 3 = 0 THEN
+                        concat('  sitemap : https://h', doc_id,
+                               '.example/sm-1.xml', chr(10))
+                      ELSE '' END,
+                      '# Sitemap: https://h', doc_id,
+                      '.example/never.xml') AS body
+        FROM documents
+    """)
+    return sitemap_urls_from_robots(robots).orderBy("host", "ln")
+
+
+_ORACLE_ONLY["robots_sitemap_discovery"] = """
+WITH s AS (
+  SELECT 'h' || doc_id || '.example' AS host, doc_id FROM documents
+)
+SELECT host, CAST(3 AS INTEGER) AS ln,
+       'https://' || host || '/sm-0.xml' AS sitemap_url
+FROM s
+UNION ALL
+SELECT host, CAST(4 AS INTEGER) AS ln,
+       'https://' || host || '/sm-1.xml' AS sitemap_url
+FROM s WHERE doc_id % 3 = 0
+ORDER BY host, ln
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7356,6 +7400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["wat_metadata_stats"] = _q_wat_metadata_stats
     all_q["domain_text_stats"] = _q_domain_text_stats
     all_q["crawl_budget_allocation"] = _q_crawl_budget_allocation
+    all_q["robots_sitemap_discovery"] = _q_robots_sitemap_discovery
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -27,8 +27,8 @@ either path.
 
 Simplifications vs the full RFC (documented contract): one User-agent
 per group header (stacked UA lines assign rules to the LAST one),
-no Crawl-delay handling; Sitemap lines are consumed by the sitemap
-source (ffp_spark.sitemaps), not here.
+no Crawl-delay handling; Sitemap lines are consumed by
+ffp_spark.sitemaps.sitemap_urls_from_robots, not here.
 """
 
 from __future__ import annotations

@@ -166,3 +166,44 @@ def sitemap_frontier(parsed: DataFrame) -> DataFrame:
         "priority",
         "via_index",
     )
+
+
+def sitemap_urls_from_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) robots.txt documents -> (host, ln, sitemap_url)
+    rows from ``Sitemap:`` directives: the discovery handshake that
+    closes the loop robots -> sitemaps -> frontier (a crawler learns
+    WHERE the sitemaps are from robots.txt; sitemaps.org specifies
+    the directive, RFC 9309 carries it as an extension line).
+
+    Contract: key match is case-insensitive and whitespace-trimmed
+    (same normalization as robots.parse_robots); the value is
+    everything after the FIRST colon (sitemap URLs contain ``://``),
+    trimmed; comments strip first, so a Sitemap mention inside a
+    comment never emits; directives are GLOBAL per the spec — group
+    position is irrelevant, so no UA-window state is needed and the
+    whole extraction is codegen string expressions over a line
+    explode (map-side, no shuffle at all)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("ln", "raw"),
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    return (
+        lines.where(
+            F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+            == "sitemap"
+        )
+        .select(
+            "host",
+            "ln",
+            F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .where(F.col("sitemap_url") != "")
+    )

@@ -92,3 +92,46 @@ def test_frontier_resolves_one_index_level(spark):
         "https://a.example/3": "https://a.example/sitemap.xml",
         "https://b.example/x": None,
     }
+
+
+class TestRobotsSitemapDiscovery:
+    def test_directive_extraction_contract(self, spark):
+        from ffp_spark.sitemaps import sitemap_urls_from_robots
+
+        body = "\n".join(
+            [
+                "# Sitemap: https://h/commented.xml",
+                "User-agent: *",
+                "Disallow: /x",
+                "Sitemap: https://h/a.xml",
+                "  sitemap :   https://h/b.xml  ",
+                "SITEMAP:https://h/c.xml",
+                "Sitemap:",  # empty value drops
+                "Sitemap: https://h/tail.xml # trailing comment",
+            ]
+        )
+        robots = spark.createDataFrame(
+            [("h.example", body)], "host string, body string"
+        )
+        got = [
+            (r.ln, r.sitemap_url)
+            for r in sitemap_urls_from_robots(robots).orderBy("ln").collect()
+        ]
+        assert got == [
+            (3, "https://h/a.xml"),
+            (4, "https://h/b.xml"),
+            (5, "https://h/c.xml"),
+            (7, "https://h/tail.xml"),
+        ]
+
+    def test_no_shuffle_plan(self, spark):
+        from ffp_spark.sitemaps import sitemap_urls_from_robots
+
+        robots = spark.createDataFrame(
+            [("h", "Sitemap: https://h/a.xml")], "host string, body string"
+        )
+        plan = (
+            sitemap_urls_from_robots(robots)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # pure map-side explode + filter
