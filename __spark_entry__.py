@@ -3205,6 +3205,82 @@ ORDER BY host, ln
 """
 
 
+def _q_robots_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay parsing (robots.parse_crawl_delays): the de-facto
+    per-host politeness knob.  Each doc is a host whose robots body
+    carries a '*' group with an integer delay (doc_id%7 seconds), and
+    an agent-specific group that is fractional on doc_id%3==0
+    ('0.<d>' -> d*100 ms exactly), junk on %3==1 (the directive row
+    survives with a NULL delay — the contract), absent on %3==2.
+    DuckDB replays in closed integer form (never a float round)."""
+    from ffp_spark.robots import parse_crawl_delays
+
+    _t(spark, sf_dir, "documents")
+    robots = spark.sql("""
+        SELECT concat('h', doc_id, '.example') AS host,
+               concat('User-agent: *', chr(10),
+                      'Crawl-delay: ', doc_id % 7, chr(10),
+                      'User-agent: ffpbot', chr(10),
+                      CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN concat('Crawl-delay: 0.', doc_id % 10)
+                        WHEN 1 THEN 'Crawl-delay: fast'
+                        ELSE 'Disallow: /x'
+                      END) AS body
+        FROM documents
+    """)
+    return parse_crawl_delays(robots).orderBy("host", "ua")
+
+
+_ORACLE_ONLY["robots_crawl_delays"] = """
+WITH s AS (SELECT 'h' || doc_id || '.example' AS host, doc_id FROM documents)
+SELECT host, '*' AS ua, CAST((doc_id % 7) * 1000 AS BIGINT) AS delay_ms
+FROM s
+UNION ALL
+SELECT host, 'ffpbot', CAST((doc_id % 10) * 100 AS BIGINT)
+FROM s WHERE doc_id % 3 = 0
+UNION ALL
+SELECT host, 'ffpbot', NULL
+FROM s WHERE doc_id % 3 = 1
+ORDER BY host, ua
+"""
+
+
+def _q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity (graph.reciprocity) over an arithmetic
+    directed graph: src n<doc_id%40> -> dst n<doc_id*7%40> — the
+    multiplicative stripe makes SOME pairs mutual ((a,b) and (b,a)
+    both synthesized) and many not, self-loops (7k===k mod 40) are
+    excluded, duplicate edges collapse before counting.  The oracle
+    replays with dedup + EXISTS — independent of the semi-join plan."""
+    from ffp_spark.graph import reciprocity
+
+    _t(spark, sf_dir, "documents")
+    edges = spark.sql("""
+        SELECT concat('n', doc_id % 40) AS src,
+               concat('n', doc_id * 7 % 40) AS dst
+        FROM documents
+    """)
+    return reciprocity(edges)
+
+
+_ORACLE_ONLY["graph_reciprocity"] = """
+WITH e AS (
+  SELECT DISTINCT 'n' || (doc_id % 40) AS s, 'n' || (doc_id * 7 % 40) AS d
+  FROM documents
+  WHERE 'n' || (doc_id % 40) != 'n' || (doc_id * 7 % 40)
+),
+m AS (
+  SELECT count(*) AS n_mutual FROM e
+  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.s = e.d AND e2.d = e.s)
+),
+n AS (SELECT count(*) AS n_edges FROM e)
+SELECT n.n_edges, m.n_mutual,
+       CAST((1000000 * m.n_mutual) // n.n_edges AS BIGINT)
+         AS reciprocity_ppm
+FROM n, m
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7401,6 +7477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["domain_text_stats"] = _q_domain_text_stats
     all_q["crawl_budget_allocation"] = _q_crawl_budget_allocation
     all_q["robots_sitemap_discovery"] = _q_robots_sitemap_discovery
+    all_q["robots_crawl_delays"] = _q_robots_crawl_delays
+    all_q["graph_reciprocity"] = _q_graph_reciprocity
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

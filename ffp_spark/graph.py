@@ -1578,3 +1578,34 @@ def _hb_q(ball: DataFrame, r: int) -> DataFrame:
     return _hb_sums(ball).select(
         "node", F.round(_hb_est_expr() * 100).cast("long").alias(f"q{r}")
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global edge reciprocity of a directed graph: the fraction of
+    (distinct, non-loop) directed edges whose reverse edge also
+    exists — on web graphs the classic spam/community discriminator
+    (organic link neighborhoods reciprocate; link farms and pure
+    citation structures do not).
+
+    Output: one row (n_edges, n_mutual, reciprocity_ppm) with the
+    ratio in integer parts-per-million (10^6 * mutual div edges —
+    exact cross-engine integer arithmetic, the repo-wide convention).
+
+    Plan: dedup once, ONE self-equi-join against the reversed edge
+    set on (src, dst) — both sides shuffle on the same key pair, so
+    the join co-partitions; counts collapse map-side.  No windows,
+    no driver state."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    mutual = e.join(rev, ["s", "d"], "left_semi")
+    n = e.agg(F.count("*").alias("n_edges"))
+    m = mutual.agg(F.count("*").alias("n_mutual"))
+    return n.crossJoin(m).select(
+        "n_edges",
+        "n_mutual",
+        F.expr("(1000000 * n_mutual) div n_edges").alias("reciprocity_ppm"),
+    )

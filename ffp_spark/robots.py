@@ -186,3 +186,52 @@ def robots_allowed(
     return u.join(verdict, url_col, "left").withColumn(
         "allowed", F.coalesce("allowed", F.lit(True))
     )
+
+
+def parse_crawl_delays(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) -> (host, ua, delay_ms) from ``Crawl-delay``
+    lines — the de-facto politeness knob most large sites publish
+    (not in RFC 9309, honored by most commercial crawlers; the
+    frontier's wave scheduler consumes it as the per-host pacing
+    input).  Same line machinery and running-UA-group window as
+    parse_robots; fractional seconds parse (``0.5`` -> 500 ms) via
+    try_cast, junk or negative values yield a NULL delay ROW (the
+    directive existed; its value was bad — callers decide the
+    default), delays before any User-agent header drop."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("ln", "raw"),
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    parts = lines.select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("val"),
+    )
+    tagged = parts.select(
+        "host",
+        "ln",
+        F.when(F.col("key") == "user-agent", F.lower("val")).alias("ua_line"),
+        (F.col("key") == "crawl-delay").alias("is_delay"),
+        "val",
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = tagged.withColumn(
+        "ua", F.last("ua_line", ignorenulls=True).over(w)
+    )
+    secs = F.expr("try_cast(val AS DOUBLE)")
+    delay = F.when(secs >= 0, F.round(secs * 1000).cast("long"))
+    return (
+        grouped.where(F.col("is_delay") & F.col("ua").isNotNull())
+        .select("host", "ua", delay.alias("delay_ms"))
+    )

@@ -1148,3 +1148,30 @@ def test_scc_nonconvergence_is_loud_not_partial(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint|max_outer"):
         scc(chain, max_outer=1, max_inner=2)
+
+
+class TestReciprocity:
+    def test_known_values(self, spark):
+        from ffp_spark.graph import reciprocity
+
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("b", "a"),        # mutual pair -> 2 edges count
+                ("a", "b"),                      # duplicate collapses
+                ("a", "c"),                      # one-way
+                ("c", "c"),                      # self loop excluded
+            ],
+            "src string, dst string",
+        )
+        row = reciprocity(edges).collect()[0]
+        assert (row.n_edges, row.n_mutual) == (3, 2)
+        assert row.reciprocity_ppm == (1000000 * 2) // 3
+
+    def test_no_mutual(self, spark):
+        from ffp_spark.graph import reciprocity
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        row = reciprocity(edges).collect()[0]
+        assert (row.n_edges, row.n_mutual, row.reciprocity_ppm) == (2, 0, 0)

@@ -145,3 +145,35 @@ def test_wildcard_precedence_google_spec_table(spark):
     )
     got = _verdicts(spark, rules, urls)
     assert got == expected
+
+
+class TestCrawlDelays:
+    def test_group_state_fractional_and_junk(self, spark):
+        from ffp_spark.robots import parse_crawl_delays
+
+        body = "\n".join(
+            [
+                "Crawl-delay: 9",  # before any UA header -> dropped
+                "User-agent: *",
+                "Crawl-delay: 2",
+                "# Crawl-delay: 99 (commented)",
+                "User-agent: slowbot",
+                "Crawl-delay: 0.5",
+                "User-agent: junkbot",
+                "Crawl-delay: fast",  # junk -> NULL delay ROW survives
+                "Crawl-delay: -3",    # negative -> NULL
+            ]
+        )
+        robots = spark.createDataFrame(
+            [("h.example", body)], "host string, body string"
+        )
+        got = [
+            (r.ua, r.delay_ms)
+            for r in parse_crawl_delays(robots).orderBy("ua", "delay_ms").collect()
+        ]
+        assert got == [
+            ("*", 2000),
+            ("junkbot", None),
+            ("junkbot", None),
+            ("slowbot", 500),
+        ]
