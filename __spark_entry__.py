@@ -3281,6 +3281,138 @@ FROM n, m
 """
 
 
+def _q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (weblinks.extract_hreflangs):
+    the i18n sibling of rel=canonical — publishers declare language
+    variant clusters via <link rel=alternate hreflang=...>, and
+    production pipelines collapse those variants BEFORE content
+    dedup.  Every page declares an absolute en alternate (mixed-case
+    rel/hreflang — tags lowercase per BCP-47), a RELATIVE de
+    alternate with a fragment (urljoin + strip), an x-default on
+    doc_id%4==0, plus stylesheet and hreflang-less alternate links
+    that must NOT emit.  Full table replayed in closed form."""
+    from ffp_spark.weblinks import extract_hreflangs
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><head>',
+                      '<link rel="Alternate" hreflang="EN" href="https://',
+                      source, '.example/c/', doc_id % 100, '?lang=en">',
+                      '<link rel="alternate" hreflang="de" href="/c/',
+                      doc_id % 100, '?lang=de#frag">',
+                      CASE WHEN doc_id % 4 = 0 THEN
+                        concat('<link rel="alternate" hreflang="x-default"',
+                               ' href="https://', source, '.example/c/',
+                               doc_id % 100, '">')
+                      ELSE '' END,
+                      '<link rel="stylesheet" href="/s.css">',
+                      '<link rel="alternate" href="/feed.xml">',
+                      '</head></html>') AS body
+        FROM documents
+    """)
+    return extract_hreflangs(pages, html_col="body").orderBy(
+        "url", "hreflang"
+    )
+
+
+_ORACLE_ONLY["hreflang_alternates"] = """
+WITH p AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example/doc/' || doc_id AS url,
+         doc_id % 100 AS base
+  FROM documents
+)
+SELECT url, 'de' AS hreflang,
+       'https://' || source || '.example/c/' || base || '?lang=de' AS href
+FROM p
+UNION ALL
+SELECT url, 'en',
+       'https://' || source || '.example/c/' || base || '?lang=en'
+FROM p
+UNION ALL
+SELECT url, 'x-default',
+       'https://' || source || '.example/c/' || base
+FROM p WHERE doc_id % 4 = 0
+ORDER BY url, hreflang
+"""
+
+
+def _q_crawl_schedule_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness tier composed end-to-end
+    (frontier.politeness_schedule = parse_crawl_delays + group
+    selection + schedule_waves + pacing): 50 hosts x 10 URLs, waves
+    of 3; hosts publish an agent-specific delay on h%3==0, only a
+    '*' delay otherwise, and NO delay at all on h%11==0 (the
+    default-delay path).  Per-host rollup: waves, effective delay,
+    and the crawl MAKESPAN (max wave x delay) capacity planning
+    needs.  DuckDB replays the wave window and the closed-form
+    delay ladder."""
+    from ffp_spark.frontier import politeness_schedule
+
+    _t(spark, sf_dir, "documents")
+    urls = spark.sql("""
+        SELECT concat('https://h', doc_id % 50, '.example/u/', doc_id) AS url
+        FROM documents
+    """)
+    robots = spark.sql("""
+        SELECT DISTINCT concat('h', doc_id % 50, '.example') AS host,
+          CASE WHEN doc_id % 50 % 11 = 0 THEN
+            concat('User-agent: *', chr(10), 'Disallow: /x')
+          WHEN doc_id % 50 % 3 = 0 THEN
+            concat('User-agent: *', chr(10), 'Crawl-delay: 9', chr(10),
+                   'User-agent: ffpbot', chr(10),
+                   'Crawl-delay: ', doc_id % 50 % 7)
+          ELSE
+            concat('User-agent: *', chr(10),
+                   'Crawl-delay: ', doc_id % 50 % 5)
+          END AS body
+        FROM documents
+    """)
+    sched = politeness_schedule(urls, robots, per_host=3)
+    return (
+        sched.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("wave").alias("max_wave"),
+            F.max("delay_ms").alias("delay_ms"),
+            F.max("fetch_offset_ms").alias("makespan_ms"),
+        )
+        .orderBy("host")
+    )
+
+
+_ORACLE_ONLY["crawl_schedule_makespan"] = """
+WITH u AS (
+  SELECT 'h' || (doc_id % 50) || '.example' AS host,
+         'https://h' || (doc_id % 50) || '.example/u/' || doc_id AS url,
+         doc_id % 50 AS h
+  FROM documents
+),
+w AS (
+  SELECT host, h,
+         (row_number() OVER (PARTITION BY host ORDER BY url) - 1) // 3
+           AS wave
+  FROM u
+),
+d AS (
+  SELECT host, h, wave,
+         CAST(CASE WHEN h % 11 = 0 THEN 1000
+                   WHEN h % 3 = 0 THEN (h % 7) * 1000
+                   ELSE (h % 5) * 1000 END AS BIGINT) AS delay_ms
+  FROM w
+)
+SELECT host,
+       count(*) AS n_urls,
+       CAST(max(wave) AS BIGINT) AS max_wave,
+       max(delay_ms) AS delay_ms,
+       CAST(max(wave * delay_ms) AS BIGINT) AS makespan_ms
+FROM d
+GROUP BY host
+ORDER BY host
+"""
+
+
 def _q_sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source end-to-end (sitemaps.parse_sitemaps +
     sitemap_frontier): each source hosts a sitemapindex referencing two
@@ -7479,6 +7611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["robots_sitemap_discovery"] = _q_robots_sitemap_discovery
     all_q["robots_crawl_delays"] = _q_robots_crawl_delays
     all_q["graph_reciprocity"] = _q_graph_reciprocity
+    all_q["hreflang_alternates"] = _q_hreflang_alternates
+    all_q["crawl_schedule_makespan"] = _q_crawl_schedule_makespan
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -187,6 +187,57 @@ def capture_delta(
     return j.select("key", status.alias("status"), "old_digest", "new_digest")
 
 
+def politeness_schedule(
+    urls: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "ffpbot",
+    per_host: int = 16,
+    default_delay_ms: int = 1000,
+    url_col: str = "url",
+) -> DataFrame:
+    """Waves + per-host Crawl-delay pacing -> a deterministic fetch
+    schedule: wave k of a host may start no earlier than k * delay
+    after wave 0 (each wave holds ``per_host`` fetches), so
+    ``fetch_offset_ms`` = wave * effective delay is the politeness
+    floor on when a URL may be fetched, and its per-host max is the
+    host's crawl MAKESPAN — the number capacity planning actually
+    needs.  Composes robots.parse_crawl_delays (group selection:
+    exact agent if the host published one, else '*'; multiple or
+    junk-valued directives resolve CONSERVATIVELY to the largest
+    valid delay, absent/NULL to ``default_delay_ms``) with
+    schedule_waves.  Plan: the delay table is host-distinct and
+    robots-file-derived (small) — one host-keyed join onto the
+    frontier; the wave window stays host-partitioned."""
+    from .robots import parse_crawl_delays
+
+    ua = user_agent.lower()
+    delays = parse_crawl_delays(robots)
+    has_exact = (
+        delays.where(F.col("ua") == ua)
+        .select("host")
+        .distinct()
+        .withColumn("_e", F.lit(True))
+    )
+    chosen = (
+        delays.where(F.col("ua").isin(ua, "*"))
+        .join(has_exact, "host", "left")
+        .where(
+            ((F.col("_e").isNotNull()) & (F.col("ua") == ua))
+            | ((F.col("_e").isNull()) & (F.col("ua") == "*"))
+        )
+        .groupBy("host")
+        .agg(F.max("delay_ms").alias("delay_ms"))
+    )
+    waved = schedule_waves(urls, per_host=per_host, url_col=url_col)
+    out = waved.join(F.broadcast(chosen), "host", "left").withColumn(
+        "delay_ms",
+        F.coalesce("delay_ms", F.lit(int(default_delay_ms)).cast("long")),
+    )
+    return out.withColumn(
+        "fetch_offset_ms", F.col("wave") * F.col("delay_ms")
+    )
+
+
 def allocate_budget(
     scores: DataFrame,
     total_budget: int,

@@ -205,6 +205,75 @@ def extract_canonicals(
     return src.mapInArrow(run, schema=CANONICAL_SCHEMA)
 
 
+HREFLANG_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("hreflang", StringType(), False),
+        StructField("href", StringType(), False),
+    ]
+)
+
+
+def hreflang_rows(url: str, payload: bytes) -> list[dict]:
+    """One page -> its declared language/region alternates:
+    ``<link rel="alternate" hreflang=... href=...>`` rows, href
+    urljoin-resolved (F12 discipline) with fragments stripped,
+    hreflang lowercased (BCP-47 tags are case-insensitive;
+    ``x-default`` marks the fallback variant).  The i18n sibling of
+    the rel=canonical signal: production pipelines collapse language
+    variants onto one cluster BEFORE content dedup, exactly like
+    canonicals — and hreflang is how the publisher declares the
+    cluster.  Pure function (tests + the vectorized stage)."""
+    from .feedparse.htmlsoup import parse_html_tree
+
+    tree = parse_html_tree(payload)
+    if tree is None:
+        return []
+    out: list[dict] = []
+    for link in tree.iter("link"):
+        rel = (link.get("rel") or "").lower().split()
+        if "alternate" not in rel:
+            continue
+        lang = (link.get("hreflang") or "").strip().lower()
+        href = (link.get("href") or "").strip()
+        if not lang or not href:
+            continue
+        try:
+            resolved = urljoin(url, href)
+        except ValueError:
+            continue
+        resolved = resolved.split("#", 1)[0]
+        if not resolved:
+            continue
+        out.append({"url": url, "hreflang": lang, "href": resolved})
+    return out
+
+
+def extract_hreflangs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """PAGES -> HREFLANG_SCHEMA alternate rows via mapInArrow (same
+    stage shape as extract_links/extract_canonicals)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    src = pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).cast("binary").alias("html")
+    )
+
+    def run(batches: Iterable["pa.RecordBatch"]):
+        out_schema = to_arrow_schema(HREFLANG_SCHEMA)
+        for batch in batches:
+            rows: list[dict] = []
+            for rec in batch.to_pylist():
+                payload = bytes(rec["html"]) if rec["html"] is not None else b""
+                rows.extend(hreflang_rows(rec["url"], payload))
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return src.mapInArrow(run, schema=HREFLANG_SCHEMA)
+
+
 def anchor_text_index(
     links: DataFrame, target_col: str = "href", k: int = 3
 ) -> DataFrame:

@@ -301,3 +301,35 @@ class TestAllocateBudget:
         # the bounded bucket-totals window may funnel to one partition
         assert "Window [" in plan
         assert plan.count("row_number()") == 1
+
+
+class TestPolitenessSchedule:
+    def test_group_selection_default_and_pacing(self, spark):
+        from ffp_spark.frontier import politeness_schedule
+
+        urls = spark.createDataFrame(
+            [(f"https://{h}.example/u/{i}",) for h in ("a", "b", "c")
+             for i in range(4)],
+            "url string",
+        )
+        robots = spark.createDataFrame(
+            [
+                # a: exact group wins over * (2s, not 9s)
+                ("a.example", "User-agent: *\nCrawl-delay: 9\n"
+                              "User-agent: ffpbot\nCrawl-delay: 2"),
+                # b: only * group applies (3s)
+                ("b.example", "User-agent: *\nCrawl-delay: 3"),
+                # c: no robots row at all -> default
+            ],
+            "host string, body string",
+        )
+        sched = politeness_schedule(urls, robots, per_host=2,
+                                    default_delay_ms=500)
+        got = {
+            (r.host, r.wave): (r.delay_ms, r.fetch_offset_ms)
+            for r in sched.collect()
+        }
+        assert got[("a.example", 0)] == (2000, 0)
+        assert got[("a.example", 1)] == (2000, 2000)
+        assert got[("b.example", 1)] == (3000, 3000)
+        assert got[("c.example", 1)] == (500, 500)

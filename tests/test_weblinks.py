@@ -218,3 +218,39 @@ class TestAnchorTextIndex:
         ]
         got = anchor_text_index(self._links(spark, rows), k=5).collect()
         assert [(r.anchor, r.n_links) for r in got] == [("real", 1)]
+
+
+class TestHreflang:
+    def test_extraction_contract(self):
+        from ffp_spark.weblinks import hreflang_rows
+
+        html = b"""<html><head>
+          <link rel="Alternate" hreflang="EN-us" href="https://x/en#top">
+          <link rel="alternate" hreflang="de" href="/de/page">
+          <link rel="alternate stylesheet" hreflang="fr" href="/fr">
+          <link rel="alternate" href="/feed.xml">
+          <link rel="alternate" hreflang="" href="/empty">
+          <link rel="canonical" hreflang="es" href="/not-alternate-rel">
+        </head></html>"""
+        rows = hreflang_rows("https://site.example/dir/p", html)
+        got = {(r["hreflang"], r["href"]) for r in rows}
+        assert got == {
+            ("en-us", "https://x/en"),             # lowercased, fragment gone
+            ("de", "https://site.example/de/page"),  # urljoin resolved
+            ("fr", "https://site.example/fr"),     # multi-token rel still alternate
+        }
+
+    def test_unparseable_yields_no_rows(self):
+        from ffp_spark.weblinks import hreflang_rows
+
+        assert hreflang_rows("https://x/", b"\x00garbage<<<") == []
+
+    def test_stage(self, spark):
+        from ffp_spark.weblinks import extract_hreflangs
+
+        pages = spark.createDataFrame(
+            [("https://a/", '<link rel="alternate" hreflang="en" href="/e">')],
+            "url string, html string",
+        )
+        rows = extract_hreflangs(pages).collect()
+        assert [(r.hreflang, r.href) for r in rows] == [("en", "https://a/e")]
