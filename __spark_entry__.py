@@ -2645,6 +2645,79 @@ s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
 _ORACLE_ONLY["host_pagerank"] = _host_pagerank_oracle()
 
 
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level ranking end-to-end: the arithmetic host-edge
+    table from domain_link_graph's synthesis -> domains.
+    domain_link_graph (PSL broadcast join, registrable-domain
+    quotient, suffix hosts self-keyed) -> graph.pagerank (weighted,
+    3 integer iterations) — importance at the granularity crawl
+    budgets are actually allocated (feeding allocate_budget is the
+    composition this enables).  The oracle rebuilds the DOMAIN edges
+    in closed form (independent of the PSL join) and unrolls the
+    same integer PR recurrence."""
+    from ffp_spark.domains import domain_link_graph
+    from ffp_spark.graph import pagerank
+
+    _t(spark, sf_dir, "documents")
+    edges = spark.sql("""
+        SELECT concat('h', doc_id % 7, '.', source, '.co.uk') AS src_host,
+               CASE WHEN doc_id % 13 = 0 THEN 'github.io'
+                    ELSE concat('w', doc_id * 3 % 5, '.site', doc_id % 11,
+                                '.github.io')
+               END AS dst_host,
+               CAST(1 + doc_id % 4 AS BIGINT) AS weight
+        FROM documents
+    """)
+    dg = domain_link_graph(edges).select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        "weight",
+    )
+    return pagerank(dg, iters=3, weight="weight").orderBy(
+        F.desc("pr_q"), "node"
+    )
+
+
+def _domain_pagerank_oracle(iters: int = 3) -> str:
+    from ffp_spark.graph import PR_SCALE
+
+    ctes = [
+        f"""e AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT source || '.co.uk' AS src,
+           CASE WHEN doc_id % 13 = 0 THEN 'github.io'
+                ELSE 'site' || (doc_id % 11) || '.github.io' END AS dst,
+           1 + doc_id % 4 AS w
+    FROM documents
+  ) le
+  GROUP BY src, dst
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT n.node,
+         (SELECT (15 * {PR_SCALE}) // (100 * n) FROM nn)
+         + (85 * COALESCE(sum((s.q * e.w) // od.d), 0)) // 100 AS q
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN s{i - 1} s ON s.node = e.src
+  LEFT JOIN od ON od.src = e.src
+  GROUP BY n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(q AS BIGINT) AS pr_q FROM s{iters}"
+        + "\nORDER BY pr_q DESC, node"
+    )
+
+
+_ORACLE_ONLY["domain_pagerank"] = _domain_pagerank_oracle()
+
+
 def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3xx chain collapse over an at-rest capture set
     (frontier.resolve_redirects): sources stripe doc_id mod 20, so
@@ -7613,6 +7686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_reciprocity"] = _q_graph_reciprocity
     all_q["hreflang_alternates"] = _q_hreflang_alternates
     all_q["crawl_schedule_makespan"] = _q_crawl_schedule_makespan
+    all_q["domain_pagerank"] = _q_domain_pagerank
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
