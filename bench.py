@@ -146,6 +146,15 @@ def main() -> None:
         "graph_ktruss",
         "graph_scc",
         "paragraph_dedup",
+        # round-6 additions (5 queries: the web tier — WARC->CDX,
+        # anchor soup -> host PageRank, WET text, PSL domains, revisit
+        # dedup) — totals NOT line-comparable to BENCH_r05; per-query
+        # rows are
+        "warc_cdx_index",
+        "host_pagerank",
+        "wet_text_stats",
+        "registered_domains",
+        "warc_revisit_dedup",
     ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()

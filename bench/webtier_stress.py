@@ -119,7 +119,7 @@ def main() -> None:
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     from ffp_spark.domains import host_domains
-    from ffp_spark.frontier import capture_revisits
+    from ffp_spark.frontier import allocate_budget, capture_revisits
     from ffp_spark.pipeline import build_session
     from ffp_spark.weblinks import anchor_text_index
 
@@ -174,6 +174,39 @@ def main() -> None:
     out.append(rec)
     print(json.dumps(rec), flush=True)
     assert not rec["window"], "keep-first must stay an agg, not a window"
+
+    scores = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("domain"),
+            (F.abs(F.xxhash64(F.col("id"))) % 10000).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ab = allocate_budget(scores, 1_000_000_000)
+    t0 = time.perf_counter()
+    row = ab.groupBy().agg(
+        F.sum("alloc").alias("total"), F.count("*").alias("n")
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 2)
+    plan = ab._jdf.queryExecution().executedPlan().toString()
+    rec = {
+        "query": "allocate_budget", "n_rows": n, "cpus": cpus,
+        "wall_sec": wall, "n_out": row.n, "alloc_total": row.total,
+        "conserved": row.total == 1_000_000_000,
+        # SinglePartition exchanges exist (single-ROW total aggregates
+        # + the <= n_buckets+1 bucket-totals window, duplicated by
+        # uncached plan subtrees) — none carries the domain stream;
+        # the assertable fact is that the per-row rank window is
+        # BUCKET-partitioned, never global
+        "n_single_partition": plan.count("Exchange SinglePartition"),
+        "rank_window_bucketed": "windowspecdefinition(_bkt" in plan,
+        "partial_agg": "partial" in plan.lower(),
+    }
+    out.append(rec)
+    print(json.dumps(rec), flush=True)
+    assert rec["conserved"], rec
+    assert rec["rank_window_bucketed"], plan
 
     print(json.dumps({"ok": True, "results": len(out)}))
     spark.stop()
