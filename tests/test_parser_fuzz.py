@@ -123,3 +123,42 @@ def test_gzip_roundtrip_of_every_fixture_parses_identically():
 
         got = parse_feed(_maybe_decompress(_gzip.compress(raw), None))
         assert got == want, f.name
+
+
+class TestWebExtractorFuzz:
+    """The round-6 secondary consumers of the HTML-soup bridge
+    (links / canonicals / hreflang / WET text / WAT metadata) must
+    NEVER raise on any byte sequence — a crash inside mapInArrow
+    fails the Spark task instead of yielding an empty/NULL row."""
+
+    def _payloads(self):
+        rng = random.Random(4242)
+        for _ in range(120):
+            n = rng.randint(0, 1500)
+            yield bytes(rng.getrandbits(8) for _ in range(n))
+        # structured-ish adversaries
+        yield b"<a href='" + bytes(range(256)) + b"'>x</a>"
+        yield b"<link rel=alternate hreflang href>"
+        yield b"<p>" * 500
+        yield b"<script>" + b"\x00" * 64
+        yield "<title>  </title>".encode("utf-8")
+        yield b"<meta name=description content>"
+        yield b"<a href=http://[::1]:80/x>v6</a>"  # urljoin ValueError path
+
+    def test_extractors_never_raise(self):
+        from ffp_spark.weblinks import (
+            canonical_of,
+            extract_link_rows,
+            hreflang_rows,
+        )
+        from ffp_spark.wat import page_metadata
+        from ffp_spark.wet import page_text
+
+        for payload in self._payloads():
+            assert isinstance(extract_link_rows("https://x/", payload), list)
+            canonical_of("https://x/", payload)
+            assert isinstance(hreflang_rows("https://x/", payload), list)
+            t = page_text(payload)
+            assert t is None or isinstance(t, str)
+            m = page_metadata(payload)
+            assert m is None or isinstance(m, dict)
