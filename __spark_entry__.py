@@ -2718,6 +2718,53 @@ s0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS q FROM nodes)"""
 _ORACLE_ONLY["domain_pagerank"] = _domain_pagerank_oracle()
 
 
+def _q_web_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-structure evolution between two crawls
+    (weblinks.host_graph_delta): one full outer join on the edge key
+    pair + codegen CASE -> added/removed/persisted with weight
+    deltas (the graph-level sibling of the URL-level capture diff —
+    what link-spam monitoring and freshness models consume).  Each
+    doc is one edge; the %5 stripe removes it from the old crawl on
+    residue 4 and from the new on residue 0, and the %3-vs-%4 weight
+    stripes make persisted deltas nonzero.  Closed-form oracle."""
+    from ffp_spark.weblinks import host_graph_delta
+
+    _t(spark, sf_dir, "documents")
+    old = spark.sql("""
+        SELECT concat(source, '.example') AS src_host,
+               concat('d', doc_id, '.example') AS dst_host,
+               CAST(1 + doc_id % 3 AS BIGINT) AS weight
+        FROM documents WHERE doc_id % 5 != 4
+    """)
+    new = spark.sql("""
+        SELECT concat(source, '.example') AS src_host,
+               concat('d', doc_id, '.example') AS dst_host,
+               CAST(1 + doc_id % 4 AS BIGINT) AS weight
+        FROM documents WHERE doc_id % 5 != 0
+    """)
+    return host_graph_delta(old, new).orderBy("src_host", "dst_host")
+
+
+_ORACLE_ONLY["web_graph_delta"] = """
+SELECT source || '.example' AS src_host,
+       'd' || doc_id || '.example' AS dst_host,
+       CASE WHEN doc_id % 5 = 4 THEN 'added'
+            WHEN doc_id % 5 = 0 THEN 'removed'
+            ELSE 'persisted' END AS status,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                 ELSE 1 + doc_id % 3 END AS BIGINT) AS old_weight,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN NULL
+                 ELSE 1 + doc_id % 4 END AS BIGINT) AS new_weight,
+       CAST(coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE 1 + doc_id % 4 END, 0)
+            - coalesce(CASE WHEN doc_id % 5 = 4 THEN NULL
+                            ELSE 1 + doc_id % 3 END, 0)
+            AS BIGINT) AS weight_delta
+FROM documents
+ORDER BY src_host, dst_host
+"""
+
+
 def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3xx chain collapse over an at-rest capture set
     (frontier.resolve_redirects): sources stripe doc_id mod 20, so
@@ -7687,6 +7734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["hreflang_alternates"] = _q_hreflang_alternates
     all_q["crawl_schedule_makespan"] = _q_crawl_schedule_makespan
     all_q["domain_pagerank"] = _q_domain_pagerank
+    all_q["web_graph_delta"] = _q_web_graph_delta
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

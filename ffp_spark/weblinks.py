@@ -352,3 +352,41 @@ def surt_key(url_col: str = "url"):
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+
+
+def host_graph_delta(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Two crawl generations of the host web graph -> per-edge
+    evolution: status in {'added', 'removed', 'persisted'} plus the
+    weight delta — how the link structure moved between crawls (the
+    graph-level sibling of frontier.capture_delta's URL-level diff;
+    at archive scale this is the signal link-spam monitoring and
+    freshness models consume).
+
+    Plan: ONE full outer join on the (src_host, dst_host) key pair —
+    both generations shuffle on the same keys and co-partition; with
+    bucketed edge tables the exchange disappears — and a codegen
+    CASE.  Missing weights count as 0 for the delta (an added edge's
+    delta IS its weight)."""
+    o = old_edges.select(
+        "src_host", "dst_host", F.col("weight").alias("old_weight")
+    )
+    n = new_edges.select(
+        "src_host", "dst_host", F.col("weight").alias("new_weight")
+    )
+    j = o.join(n, ["src_host", "dst_host"], "full_outer")
+    status = (
+        F.when(F.col("old_weight").isNull(), F.lit("added"))
+        .when(F.col("new_weight").isNull(), F.lit("removed"))
+        .otherwise(F.lit("persisted"))
+    )
+    return j.select(
+        "src_host",
+        "dst_host",
+        status.alias("status"),
+        "old_weight",
+        "new_weight",
+        (
+            F.coalesce("new_weight", F.lit(0))
+            - F.coalesce("old_weight", F.lit(0))
+        ).alias("weight_delta"),
+    )

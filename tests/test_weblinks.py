@@ -254,3 +254,27 @@ class TestHreflang:
         )
         rows = extract_hreflangs(pages).collect()
         assert [(r.hreflang, r.href) for r in rows] == [("en", "https://a/e")]
+
+
+class TestHostGraphDelta:
+    def test_statuses_and_weight_deltas(self, spark):
+        from ffp_spark.weblinks import host_graph_delta
+
+        old = spark.createDataFrame(
+            [("a", "b", 3), ("a", "c", 1)],
+            "src_host string, dst_host string, weight long",
+        )
+        new = spark.createDataFrame(
+            [("a", "b", 5), ("a", "d", 2)],
+            "src_host string, dst_host string, weight long",
+        )
+        got = {
+            (r.src_host, r.dst_host): (r.status, r.old_weight, r.new_weight,
+                                       r.weight_delta)
+            for r in host_graph_delta(old, new).collect()
+        }
+        assert got == {
+            ("a", "b"): ("persisted", 3, 5, 2),
+            ("a", "c"): ("removed", 1, None, -1),
+            ("a", "d"): ("added", None, 2, 2),
+        }
