@@ -222,3 +222,36 @@ def test_resolve_redirects_join_count_is_hop_budget(spark):
     )
     assert joins == 4, plan  # 3 hops + 1 resolved-probe
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_captures_diff_without_exchange(spark, tmp_path):
+    # the CDX diff's 100 TB claim: two capture generations bucketed on
+    # the url key full-outer-join with NO shuffle (capture_delta's
+    # docstring promise, verified against the executed plan)
+    from ffp_spark.frontier import capture_delta
+    from ffp_spark.snapshots import write_bucketed_table
+
+    url = "concat('https://h', id % 97, '.example/p/', id) AS url"
+    old_caps = spark.range(0, 2_000).selectExpr(
+        url, "concat('sha1:', id % 37) AS digest"
+    )
+    new_caps = spark.range(500, 2_500).selectExpr(
+        url,
+        "concat('sha1:', CASE WHEN id % 5 = 0 THEN (id + 1) % 37"
+        " ELSE id % 37 END) AS digest",
+    )
+    write_bucketed_table(old_caps, "cap_old", tmp_path / "cap_old", "url", n_buckets=8)
+    write_bucketed_table(new_caps, "cap_new", tmp_path / "cap_new", "url", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d = capture_delta(spark.table("cap_old"), spark.table("cap_new"))
+        counts = {r.status: r.n for r in d.groupBy("status").agg(
+            F.count("*").alias("n")).collect()}
+        assert set(counts) == {"added", "removed", "changed", "unchanged"}
+        plan = _plan(d)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS cap_old")
+        spark.sql("DROP TABLE IF EXISTS cap_new")
