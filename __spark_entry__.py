@@ -4098,6 +4098,83 @@ def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_core_nodes", "n_core_edges")
 
 
+def _q_graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full degeneracy decomposition (graph.core_numbers): the core
+    NUMBER of every part in the co-order graph — max k <= 4 surviving
+    4 peeling rounds per level, each level peeling the PREVIOUS
+    survivor set (the k-core of the (k-1)-core is the k-core of the
+    graph).  Rolled up as a (core, n_nodes, node_checksum) histogram;
+    DuckDB unrolls ALL max_k x rounds peel steps as CTEs — identical
+    by construction whether or not peeling converged."""
+    from ffp_spark.graph import core_numbers
+
+    _t(spark, sf_dir, "lineitem")
+    edges = spark.sql("""
+        WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ls a JOIN ls b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """)
+    cn = core_numbers(edges, max_k=4, rounds=4)
+    return (
+        cn.groupBy("core")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("core")
+    )
+
+
+def _core_numbers_oracle(max_k: int = 4, rounds: int = 4) -> str:
+    ctes = ["""e1_0 AS MATERIALIZED (
+  WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM ls a JOIN ls b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)"""]
+    for k in range(1, max_k + 1):
+        for r in range(rounds):
+            cur, nxt = f"e{k}_{r}", (
+                f"e{k}_{r + 1}" if r + 1 < rounds else f"e{k + 1}_0"
+            )
+            ctes.append(f"""d{k}_{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM {cur} UNION ALL SELECT b FROM {cur}
+  ) GROUP BY node
+),
+k{k}_{r} AS (SELECT node FROM d{k}_{r} WHERE d >= {k}),
+{nxt} AS MATERIALIZED (
+  SELECT {cur}.a, {cur}.b FROM {cur}
+  JOIN k{k}_{r} ka ON {cur}.a = ka.node
+  JOIN k{k}_{r} kb ON {cur}.b = kb.node
+)""")
+    # nodes at level k = survivors of e{k+1}_0 (the level's final set)
+    lv = ["SELECT a AS node, 0 AS core FROM e1_0 UNION SELECT b, 0 FROM e1_0"]
+    for k in range(1, max_k + 1):
+        fin = f"e{k + 1}_0"
+        lv.append(
+            f"SELECT a AS node, {k} AS core FROM {fin}"
+            f" UNION SELECT b, {k} FROM {fin}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + ",\ncores AS (SELECT node, max(core) AS core FROM ("
+        + "\nUNION ALL\n".join(lv)
+        + ") GROUP BY node)\n"
+        + "SELECT core, count(*) AS n_nodes,"
+        + " CAST(sum(node) AS BIGINT) AS node_checksum\n"
+        + "FROM cores GROUP BY core ORDER BY core"
+    )
+
+
+_ORACLE_ONLY["graph_core_numbers"] = _core_numbers_oracle()
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
     ctes = ["""e0 AS MATERIALIZED (
   WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -7735,6 +7812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["crawl_schedule_makespan"] = _q_crawl_schedule_makespan
     all_q["domain_pagerank"] = _q_domain_pagerank
     all_q["web_graph_delta"] = _q_web_graph_delta
+    all_q["graph_core_numbers"] = _q_graph_core_numbers
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

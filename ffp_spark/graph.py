@@ -1609,3 +1609,58 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
         "n_mutual",
         F.expr("(1000000 * n_mutual) div n_edges").alias("reciprocity_ppm"),
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    max_k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Core number per node: the largest ``k`` (up to ``max_k``) for
+    which the node survives ``rounds`` rounds of k-core peeling — the
+    full degeneracy decomposition (k-core gives one shell; the core
+    NUMBER ranks every node's structural embeddedness, the standard
+    web/social cohesion index).
+
+    Same fixed-round contract as :func:`kcore_edges` (both engines
+    compute the identical object; pick ``rounds`` >= peeling depth
+    for true cores).  Efficiency lever: the k-core of the (k-1)-core
+    IS the k-core of the graph, so each level peels the PREVIOUS
+    survivor set, not the full edge set — total barriers
+    max_k x rounds (scale-independent), per-level data monotonically
+    shrinking.  Early-exits when a level empties.
+
+    Output: (node, core) for every node incident to an input edge,
+    core = 0 for isolated-after-dedup nodes (self-loop-only)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    levels = [all_nodes.withColumn("core", F.lit(0))]
+    cur = e
+    for k in range(1, max_k + 1):
+        cur = kcore_edges(cur, k=k, rounds=rounds, src="a", dst="b")
+        if cur.isEmpty():
+            break
+        levels.append(
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .distinct()
+            .withColumn("core", F.lit(k))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.max("core").alias("core"))

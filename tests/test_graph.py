@@ -1175,3 +1175,55 @@ class TestReciprocity:
         )
         row = reciprocity(edges).collect()[0]
         assert (row.n_edges, row.n_mutual, row.reciprocity_ppm) == (2, 0, 0)
+
+
+class TestCoreNumbers:
+    def test_known_decomposition(self, spark):
+        from ffp_spark.graph import core_numbers
+
+        # K4 clique (core 3) + a triangle sharing node d (core 2) + a
+        # pendant path f-g-h (core 1)
+        edges = [
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+            ("c", "d"),
+            ("d", "e"), ("e", "f"), ("f", "d"),
+            ("f", "g"), ("g", "h"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.core for r in core_numbers(df, max_k=4, rounds=6).collect()}
+        assert got == {
+            "a": 3, "b": 3, "c": 3, "d": 3,
+            "e": 2, "f": 2,
+            "g": 1, "h": 1,
+        }
+
+    def test_pure_python_reference(self, spark):
+        from ffp_spark.graph import core_numbers
+
+        # deterministic pseudo-random graph vs a python peeling ref
+        edges = [(f"n{(i * 7) % 30}", f"n{(i * 13 + 5) % 30}") for i in range(80)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.core for r in core_numbers(df, max_k=8, rounds=12).collect()}
+
+        adj = {}
+        for s, d in edges:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        core = {}
+        live = {n: set(v) for n, v in adj.items()}
+        for k in range(0, 10):
+            # peel everything below k+1; nodes removed here have core k
+            changed = True
+            while changed:
+                changed = False
+                for n in [n for n, v in live.items() if len(v) < k + 1]:
+                    core[n] = k
+                    for m in live[n]:
+                        live[m].discard(n)
+                    del live[n]
+                    changed = True
+            if not live:
+                break
+        assert got == core
