@@ -2765,6 +2765,59 @@ ORDER BY src_host, dst_host
 """
 
 
+def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage (frontier.sitemap_coverage): how
+    much of what each site DECLARES the crawl captured, and what the
+    crawl found that was never declared — the per-site completeness
+    metric crawl operations track.  Declared = doc_id%4 != 3,
+    captured = doc_id%3 != 2 (coprime stripes mix all four cells per
+    host), plus a capture-only 'orphan.example' host pinning the
+    declares-nothing -> coverage 0 contract.  Closed-form oracle."""
+    from ffp_spark.frontier import sitemap_coverage
+
+    _t(spark, sf_dir, "documents")
+    declared = spark.sql("""
+        SELECT concat('https://', source, '.example/p/', doc_id) AS url
+        FROM documents WHERE doc_id % 4 != 3
+    """)
+    captured = spark.sql("""
+        SELECT concat('https://', source, '.example/p/', doc_id) AS url
+        FROM documents WHERE doc_id % 3 != 2
+        UNION ALL
+        SELECT concat('https://orphan.example/p/', doc_id)
+        FROM documents WHERE doc_id % 10 = 0
+    """)
+    return sitemap_coverage(declared, captured).orderBy("host")
+
+
+_ORACLE_ONLY["sitemap_coverage"] = """
+WITH per AS (
+  SELECT source || '.example' AS host,
+         CAST(sum(CASE WHEN doc_id % 4 != 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sitemap,
+         CAST(sum(CASE WHEN doc_id % 3 != 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_captured,
+         CAST(sum(CASE WHEN doc_id % 4 != 3 AND doc_id % 3 != 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN doc_id % 4 != 3 AND doc_id % 3 = 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         CAST(sum(CASE WHEN doc_id % 4 = 3 AND doc_id % 3 != 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'orphan.example',
+         0, CAST(count(*) AS BIGINT), 0, 0, CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT host, n_sitemap, n_captured, n_both, n_missing, n_orphan,
+       CAST(CASE WHEN n_sitemap > 0
+                 THEN (1000000 * n_both) // n_sitemap
+                 ELSE 0 END AS BIGINT) AS coverage_ppm
+FROM per
+ORDER BY host
+"""
+
+
 def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3xx chain collapse over an at-rest capture set
     (frontier.resolve_redirects): sources stripe doc_id mod 20, so
@@ -7813,6 +7866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["domain_pagerank"] = _q_domain_pagerank
     all_q["web_graph_delta"] = _q_web_graph_delta
     all_q["graph_core_numbers"] = _q_graph_core_numbers
+    all_q["sitemap_coverage"] = _q_sitemap_coverage
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

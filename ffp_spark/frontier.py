@@ -413,3 +413,49 @@ def resolve_redirects(
         F.col("_loop").isNull().alias("resolved"),
     )
     return out
+
+
+def sitemap_coverage(
+    sitemap_urls: DataFrame,
+    captured_urls: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage: how much of what the site
+    DECLARES (sitemap) the crawl actually captured, and how much of
+    the capture the site never declared (orphans) — the completeness
+    metric crawl operations track per site.
+
+    Output per host: n_sitemap, n_captured, n_both, n_missing
+    (declared, never captured), n_orphan (captured, never declared),
+    coverage_ppm = 10^6 * n_both div n_sitemap (0 when the host
+    declares nothing).  Plan: ONE full outer join on the url key
+    (both sides co-partition; bucketed tables drop the exchange —
+    the capture_delta shape) + one host-keyed agg with map-side
+    partials; integer ppm, exact cross-engine."""
+    s = sitemap_urls.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_s", F.lit(True)
+    )
+    c = captured_urls.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "_c", F.lit(True)
+    )
+    j = s.join(c, "url", "full_outer").select(
+        host_of("url").alias("host"), "_s", "_c"
+    )
+    agg = j.groupBy("host").agg(
+        F.sum(F.col("_s").isNotNull().cast("long")).alias("n_sitemap"),
+        F.sum(F.col("_c").isNotNull().cast("long")).alias("n_captured"),
+        F.sum((F.col("_s").isNotNull() & F.col("_c").isNotNull()).cast("long")).alias(
+            "n_both"
+        ),
+        F.sum((F.col("_s").isNotNull() & F.col("_c").isNull()).cast("long")).alias(
+            "n_missing"
+        ),
+        F.sum((F.col("_s").isNull() & F.col("_c").isNotNull()).cast("long")).alias(
+            "n_orphan"
+        ),
+    )
+    return agg.withColumn(
+        "coverage_ppm",
+        F.when(F.col("n_sitemap") > 0,
+               F.expr("(1000000 * n_both) div n_sitemap")).otherwise(F.lit(0)),
+    )

@@ -333,3 +333,27 @@ class TestPolitenessSchedule:
         assert got[("a.example", 1)] == (2000, 2000)
         assert got[("b.example", 1)] == (3000, 3000)
         assert got[("c.example", 1)] == (500, 500)
+
+
+class TestSitemapCoverage:
+    def test_cell_counts_and_zero_declared(self, spark):
+        from ffp_spark.frontier import sitemap_coverage
+
+        declared = spark.createDataFrame(
+            [("https://a.example/1",), ("https://a.example/2",),
+             ("https://a.example/3",)],
+            "url string",
+        )
+        captured = spark.createDataFrame(
+            [("https://a.example/2",), ("https://a.example/3",),
+             ("https://a.example/4",), ("https://b.example/x",)],
+            "url string",
+        )
+        got = {
+            r.host: (r.n_sitemap, r.n_captured, r.n_both, r.n_missing,
+                     r.n_orphan, r.coverage_ppm)
+            for r in sitemap_coverage(declared, captured).collect()
+        }
+        assert got["a.example"] == (3, 3, 2, 1, 1, (1000000 * 2) // 3)
+        # b declares nothing: coverage 0, one orphan
+        assert got["b.example"] == (0, 1, 0, 0, 1, 0)
