@@ -249,6 +249,12 @@ def domain_link_graph(
     (src_domain, dst_domain) re-agg with map-side partials.  The
     domain map is host-distinct — orders of magnitude smaller than
     the edge table it re-keys."""
+    # DNS names are case-insensitive and host_domains keys are
+    # lowercased — normalize the endpoints ONCE so mixed-case edge
+    # hosts can never silently drop out of the inner joins
+    host_edges = host_edges.withColumn(
+        "src_host", F.lower("src_host")
+    ).withColumn("dst_host", F.lower("dst_host"))
     hosts = (
         host_edges.select(F.col("src_host").alias("host"))
         .union(host_edges.select(F.col("dst_host").alias("host")))

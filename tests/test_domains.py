@@ -168,3 +168,18 @@ def test_matches_python_reference_on_generated_matrix(spark):
     assert len(got) == len(set(h.lower() for h in hosts))
     for h in hosts:
         assert got[h.lower()] == _psl_lookup_py(h, PSL_SNIPPET), h
+
+
+def test_domain_link_graph_mixed_case_endpoints(spark):
+    # DNS is case-insensitive: mixed-case edge hosts must collapse onto
+    # the same (lowercased) domains, never silently drop from the join
+    edges = spark.createDataFrame(
+        [("A.One.CO.UK", "X.Site.GitHub.IO", 2),
+         ("b.one.co.uk", "y.site.github.io", 3)],
+        "src_host string, dst_host string, weight long",
+    )
+    rows = {
+        (r.src_domain, r.dst_domain): (r.weight, r.n_host_pairs)
+        for r in domain_link_graph(edges).collect()
+    }
+    assert rows == {("one.co.uk", "site.github.io"): (5, 2)}
