@@ -58,23 +58,31 @@ WET_SCHEMA = StructType(
 )
 
 
-def _walk(el, out: list) -> None:
-    tag = el.tag if isinstance(el.tag, str) else ""
-    if tag in _SKIP_TAGS:
-        if el.tail:
-            out.append(el.tail)
-        return
-    block = tag in _BLOCK_TAGS
-    if block:
-        out.append("\n")
-    if el.text:
-        out.append(el.text)
-    for child in el:
-        _walk(child, out)
-    if block:
-        out.append("\n")
-    if el.tail:
-        out.append(el.tail)
+def _walk(root, out: list) -> None:
+    # explicit stack, not recursion: adversarial pages nest thousands
+    # of elements deep, and a RecursionError inside mapInArrow would
+    # fail the Spark task instead of yielding a text row
+    stack = [(root, 0)]
+    while stack:
+        el, phase = stack.pop()
+        tag = el.tag if isinstance(el.tag, str) else ""
+        if phase == 0:
+            if tag in _SKIP_TAGS:
+                if el.tail:
+                    out.append(el.tail)
+                continue
+            if tag in _BLOCK_TAGS:
+                out.append("\n")
+            if el.text:
+                out.append(el.text)
+            stack.append((el, 1))
+            for child in reversed(list(el)):
+                stack.append((child, 0))
+        else:
+            if tag in _BLOCK_TAGS:
+                out.append("\n")
+            if el.tail:
+                out.append(el.tail)
 
 
 def page_text(payload: bytes) -> Optional[str]:

@@ -144,6 +144,7 @@ class TestWebExtractorFuzz:
         yield "<title>  </title>".encode("utf-8")
         yield b"<meta name=description content>"
         yield b"<a href=http://[::1]:80/x>v6</a>"  # urljoin ValueError path
+        yield b"<div>" * 5000 + b"deep" + b"</div>" * 5000  # recursion bomb
 
     def test_extractors_never_raise(self):
         from ffp_spark.weblinks import (
