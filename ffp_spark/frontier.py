@@ -262,8 +262,10 @@ def allocate_budget(
     a bucket-partitioned window.  A naive global row_number here
     would funnel every domain through one task.
 
-    Requires sum(score) > 0 (ANSI division fails loudly otherwise)
-    and budget * max(score) < 2^63."""
+    Requires NON-NEGATIVE scores with sum(score) > 0 (integral div
+    truncates toward zero, so negative scores would break the floor
+    semantics; ANSI division fails loudly on a zero sum) and
+    budget * max(score) < 2^63."""
     budget = F.lit(int(total_budget)).cast("long")
     s = scores.select(
         F.col(key_col).alias("key"), F.col(score_col).cast("long").alias("score")
@@ -328,7 +330,11 @@ def capture_revisits(
     Plan: keep-first = ONE digest-keyed min(struct(ts, url)) aggregate
     (map-side partials collapse before the shuffle) joined back on the
     digest — the paragraph_dedup idiom, never a corpus-wide window
-    sort."""
+    sort.
+
+    Contract: (url, ts) is unique per capture set (the CDX key
+    property real capture indexes guarantee); exact-duplicate rows
+    would each match the group minimum and both read as responses."""
     c = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("ts"),
