@@ -2765,6 +2765,74 @@ ORDER BY src_host, dst_host
 """
 
 
+def _q_related_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based related-entity discovery (graph.neighborhood_jaccard):
+    top-3 most similar hosts by Jaccard of undirected neighbor sets
+    over a 30-node double-stripe graph (edges i->7i and i->11i mod
+    30 — varied overlaps, degree <= 4).  The implementation generates
+    candidates with a shared-neighbor wedge join (hub centers
+    excludable); the oracle computes ALL node pairs with a correlated
+    intersection count — an independent plan that also pins the
+    wedge-only property (zero-common pairs never rank)."""
+    from ffp_spark.graph import neighborhood_jaccard
+
+    _t(spark, sf_dir, "documents")
+    edges = spark.sql("""
+        SELECT concat('h', doc_id % 30) AS src,
+               concat('h', doc_id * 7 % 30) AS dst
+        FROM documents
+        UNION ALL
+        SELECT concat('h', doc_id % 30), concat('h', doc_id * 11 % 30)
+        FROM documents
+    """)
+    return neighborhood_jaccard(edges, k=3).orderBy("node", "rank")
+
+
+_ORACLE_ONLY["related_hosts"] = """
+WITH e AS (
+  SELECT 'h' || (doc_id % 30) AS s, 'h' || (doc_id * 7 % 30) AS d
+  FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 30), 'h' || (doc_id * 11 % 30) FROM documents
+),
+und AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e
+  ) WHERE x != y
+),
+nodes AS (SELECT DISTINCT x AS node FROM und),
+deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+inter AS (
+  SELECT n1.node AS h1, n2.node AS h2,
+         (SELECT count(*) FROM und u1 JOIN und u2 ON u1.y = u2.y
+          WHERE u1.x = n1.node AND u2.x = n2.node) AS n_common
+  FROM nodes n1 JOIN nodes n2 ON n1.node < n2.node
+),
+sc AS (
+  SELECT h1, h2, n_common,
+         (1000000 * n_common) // (d1.d + d2.d - n_common) AS jaccard_ppm
+  FROM inter JOIN deg d1 ON d1.x = h1 JOIN deg d2 ON d2.x = h2
+  WHERE n_common > 0
+),
+sym AS (
+  SELECT h1 AS node, h2 AS related, n_common, jaccard_ppm FROM sc
+  UNION ALL
+  SELECT h2, h1, n_common, jaccard_ppm FROM sc
+),
+r AS (
+  SELECT node, related, n_common, jaccard_ppm,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY jaccard_ppm DESC, related) AS rk
+  FROM sym
+)
+SELECT node, CAST(rk AS INTEGER) AS rank, related,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+FROM r WHERE rk <= 3
+ORDER BY node, rank
+"""
+
+
 def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-crawl coverage (frontier.sitemap_coverage): how
     much of what each site DECLARES the crawl captured, and what the
@@ -7867,6 +7935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["web_graph_delta"] = _q_web_graph_delta
     all_q["graph_core_numbers"] = _q_graph_core_numbers
     all_q["sitemap_coverage"] = _q_sitemap_coverage
+    all_q["related_hosts"] = _q_related_hosts
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -1227,3 +1227,56 @@ class TestCoreNumbers:
             if not live:
                 break
         assert got == core
+
+
+class TestNeighborhoodJaccard:
+    def test_known_values_and_hub_exclusion(self, spark):
+        from ffp_spark.graph import neighborhood_jaccard
+
+        # a and b share {c, d}; a also has e -> J(a,b) = 2/3
+        edges = [("a", "c"), ("a", "d"), ("a", "e"),
+                 ("b", "c"), ("b", "d")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.node, r.related): (r.n_common, r.jaccard_ppm)
+            for r in neighborhood_jaccard(df, k=5).collect()
+            if {r.node, r.related} == {"a", "b"}
+        }
+        assert got[("a", "b")] == (2, (1000000 * 2) // (3 + 2 - 2))
+        assert got[("b", "a")] == got[("a", "b")]
+        # with hub centers excluded (degree cap 1), no shared-neighbor
+        # wedge survives: c and d both have degree 2
+        none = neighborhood_jaccard(df, k=5, max_hub_degree=1).collect()
+        assert all({r.node, r.related} != {"a", "b"} for r in none)
+
+    def test_python_reference(self, spark):
+        from ffp_spark.graph import neighborhood_jaccard
+
+        edges = [(f"n{i % 12}", f"n{(i * 5 + 1) % 12}") for i in range(40)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.node, r.rank): (r.related, r.n_common, r.jaccard_ppm)
+            for r in neighborhood_jaccard(df, k=2).collect()
+        }
+        nbr = {}
+        for s, d in edges:
+            if s == d:
+                continue
+            nbr.setdefault(s, set()).add(d)
+            nbr.setdefault(d, set()).add(s)
+        import itertools
+        rows = []
+        for u, v in itertools.combinations(sorted(nbr), 2):
+            i = len(nbr[u] & nbr[v])
+            if i:
+                j = (1000000 * i) // len(nbr[u] | nbr[v])
+                rows += [(u, v, i, j), (v, u, i, j)]
+        ref = {}
+        for node in nbr:
+            cands = sorted(
+                (r for r in rows if r[0] == node),
+                key=lambda r: (-r[3], r[1]),
+            )[:2]
+            for rk, r in enumerate(cands, 1):
+                ref[(node, rk)] = (r[1], r[2], r[3])
+        assert got == ref
