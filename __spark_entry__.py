@@ -2833,6 +2833,61 @@ ORDER BY node, rank
 """
 
 
+def _q_crawl_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed recrawl cadence (frontier.crawl_cadence): per-host
+    interval statistics from a capture index — the measured
+    counterpart of the declared changefreq ladder.  URLs stripe
+    doc_id%125 (4 captures each at the gate sfs) with timestamps
+    advancing 1000+100*(doc_id%7) ms per doc, so per-URL spans and
+    the per-host integer mean interval vary; singleton-capture hosts
+    ('once.example', %10 stripe) pin the zero-interval contract.
+    Closed-form replay in DuckDB (min/max/count aggregates)."""
+    from ffp_spark.frontier import crawl_cadence
+
+    _t(spark, sf_dir, "documents")
+    caps = spark.sql("""
+        SELECT concat('https://', source, '.example/p/', doc_id % 125) AS url,
+               CAST(1500000000000
+                    + doc_id * (1000 + 100 * (doc_id % 7)) AS BIGINT) AS ts
+        FROM documents
+        UNION ALL
+        SELECT concat('https://once.example/p/', doc_id),
+               CAST(1500000000000 + doc_id AS BIGINT)
+        FROM documents WHERE doc_id % 10 = 0
+    """)
+    return crawl_cadence(caps).orderBy("host")
+
+
+_ORACLE_ONLY["crawl_cadence_stats"] = """
+WITH caps AS (
+  SELECT 'https://' || source || '.example/p/' || (doc_id % 125) AS url,
+         1500000000000 + doc_id * (1000 + 100 * (doc_id % 7)) AS ts
+  FROM documents
+  UNION ALL
+  SELECT 'https://once.example/p/' || doc_id, 1500000000000 + doc_id
+  FROM documents WHERE doc_id % 10 = 0
+),
+per_url AS (
+  SELECT url, count(*) AS n_caps, max(ts) - min(ts) AS span_ms
+  FROM caps GROUP BY url
+),
+h AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         count(*) AS n_urls,
+         CAST(sum(n_caps) AS BIGINT) AS n_captures,
+         CAST(sum(n_caps) - count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(span_ms) AS BIGINT) AS span_ms_total
+  FROM per_url GROUP BY 1
+)
+SELECT host, n_urls, n_captures, n_intervals, span_ms_total,
+       CAST(CASE WHEN n_intervals > 0
+                 THEN span_ms_total // n_intervals ELSE 0 END AS BIGINT)
+         AS mean_interval_ms
+FROM h
+ORDER BY host
+"""
+
+
 def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-crawl coverage (frontier.sitemap_coverage): how
     much of what each site DECLARES the crawl captured, and what the
@@ -7936,6 +7991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["graph_core_numbers"] = _q_graph_core_numbers
     all_q["sitemap_coverage"] = _q_sitemap_coverage
     all_q["related_hosts"] = _q_related_hosts
+    all_q["crawl_cadence_stats"] = _q_crawl_cadence_stats
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -465,3 +465,42 @@ def sitemap_coverage(
         F.when(F.col("n_sitemap") > 0,
                F.expr("(1000000 * n_both) div n_sitemap")).otherwise(F.lit(0)),
     )
+
+
+def crawl_cadence(
+    captures: DataFrame, url_col: str = "url", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-host recrawl cadence from a capture index: how often each
+    site's URLs actually get refetched — the observed counterpart of
+    the declared <changefreq> ladder (recrawl_priority consumes the
+    declaration; this measures reality, and the gap between the two
+    is the scheduling error a crawl planner tunes against).
+
+    Per host: n_urls, n_captures, n_intervals (= captures - urls),
+    span_ms_total (sum over URLs of last-first capture time) and
+    mean_interval_ms = span_ms_total div n_intervals (0 when no URL
+    was captured twice).  Exact integer arithmetic throughout.
+
+    Plan: one url-keyed agg (count/min/max collapse map-side), one
+    host-keyed rollup — no windows, no sorts; epoch-ms BIGINTs per
+    the repo's event-time contract."""
+    per_url = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.count("*").alias("n_caps"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    agg = per_url.select(
+        host_of("url").alias("host"),
+        "n_caps",
+        (F.col("last_ts") - F.col("first_ts")).alias("span_ms"),
+    ).groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("n_caps").alias("n_captures"),
+        (F.sum("n_caps") - F.count("*")).alias("n_intervals"),
+        F.sum("span_ms").alias("span_ms_total"),
+    )
+    return agg.withColumn(
+        "mean_interval_ms",
+        F.when(F.col("n_intervals") > 0,
+               F.expr("span_ms_total div n_intervals")).otherwise(F.lit(0)),
+    )

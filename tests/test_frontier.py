@@ -357,3 +357,26 @@ class TestSitemapCoverage:
         assert got["a.example"] == (3, 3, 2, 1, 1, (1000000 * 2) // 3)
         # b declares nothing: coverage 0, one orphan
         assert got["b.example"] == (0, 1, 0, 0, 1, 0)
+
+
+class TestCrawlCadence:
+    def test_interval_math_and_singletons(self, spark):
+        from ffp_spark.frontier import crawl_cadence
+
+        caps = spark.createDataFrame(
+            [
+                ("https://a.example/1", 1000), ("https://a.example/1", 4000),
+                ("https://a.example/1", 9000),
+                ("https://a.example/2", 500), ("https://a.example/2", 1500),
+                ("https://b.example/x", 42),  # captured once: no interval
+            ],
+            "url string, ts long",
+        )
+        got = {
+            r.host: (r.n_urls, r.n_captures, r.n_intervals,
+                     r.span_ms_total, r.mean_interval_ms)
+            for r in crawl_cadence(caps).collect()
+        }
+        # a: spans 8000 + 1000 over 3 intervals -> mean 3000
+        assert got["a.example"] == (2, 5, 3, 9000, 3000)
+        assert got["b.example"] == (1, 1, 0, 0, 0)
