@@ -208,6 +208,35 @@ def main() -> None:
     assert rec["conserved"], rec
     assert rec["rank_window_bucketed"], plan
 
+    # related-hosts wedge join under hub skew: 5 hub nodes absorb ~10%
+    # of 10M edges (~200k degree each) — uncapped they contribute
+    # ~2e11 wedge pairs; the max_hub_degree cap is what makes the
+    # operator survivable, so THAT configuration is what we stress
+    from ffp_spark.graph import neighborhood_jaccard
+
+    h = F.abs(F.xxhash64(F.col("id")))
+    nn = n // 10 + 1
+    g = spark.range(n).select(
+        F.concat(F.lit("n"), (h % nn).cast("string")).alias("src"),
+        F.when(
+            h % 10 == 0, F.concat(F.lit("hub"), (h % 5).cast("string"))
+        ).otherwise(
+            F.concat(F.lit("n"), ((h / 7).cast("long") % nn).cast("string"))
+        ).alias("dst"),
+    ).localCheckpoint(eager=True)
+    nj = neighborhood_jaccard(g, k=3, max_hub_degree=64)
+    wall, rows, fp, plan = timed(nj)
+    rec = {
+        "query": "neighborhood_jaccard", "n_rows": n, "cpus": cpus,
+        "wall_sec": wall, "n_out": rows, "fingerprint": fp,
+        "partial_agg": "partial" in plan.lower(),
+        "single_partition": "Exchange SinglePartition" in plan,
+    }
+    out.append(rec)
+    print(json.dumps(rec), flush=True)
+    assert not rec["single_partition"], plan
+    g.unpersist()
+
     print(json.dumps({"ok": True, "results": len(out)}))
     spark.stop()
 
