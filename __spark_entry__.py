@@ -2888,6 +2888,67 @@ ORDER BY host
 """
 
 
+_SCR_COUNTER = [0]
+
+
+def _q_stream_capture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-rate monitor
+    (streaming.windowed_host_fetch_counts): captures drain through
+    the file stream into watermarked 1-minute x host fetch counts —
+    the in-flight politeness view.  capture_ts = epoch + doc_id
+    seconds, host stripes doc_id%7, so window membership and counts
+    are pure arithmetic for DuckDB; complete-mode memory sink keeps
+    every window; 2 files per trigger forces cross-micro-batch
+    updates."""
+    import tempfile
+
+    from ffp_spark.streaming import windowed_host_fetch_counts
+
+    _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="ffp_scr_q_")
+    landing = f"{base}/landing"
+    spark.sql("""
+        SELECT concat('https://h', doc_id % 7, '.example/p/', doc_id) AS url,
+               timestamp'2025-01-01 00:00:00'
+                 + make_interval(0, 0, 0, 0, 0, 0, doc_id) AS capture_ts
+        FROM documents
+    """).coalesce(4).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(
+        "url string, capture_ts timestamp"
+    ).option("maxFilesPerTrigger", 2).parquet(landing)
+    _SCR_COUNTER[0] += 1
+    sink = f"scr_sink_{_SCR_COUNTER[0]}"
+    q = (
+        windowed_host_fetch_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_millis("window_start").cast("long").alias("window_start_ms"),
+            "host",
+            "n_fetches",
+        )
+        .orderBy("window_start_ms", "host")
+    )
+
+
+_ORACLE_ONLY["stream_capture_rates"] = """
+SELECT epoch_ms(TIMESTAMP '2025-01-01 00:00:00'
+                + INTERVAL (doc_id // 60) MINUTE) AS window_start_ms,
+       'h' || (doc_id % 7) || '.example' AS host,
+       count(*) AS n_fetches
+FROM documents
+GROUP BY 1, 2
+ORDER BY window_start_ms, host
+"""
+
+
 def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-crawl coverage (frontier.sitemap_coverage): how
     much of what each site DECLARES the crawl captured, and what the
@@ -7992,6 +8053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["sitemap_coverage"] = _q_sitemap_coverage
     all_q["related_hosts"] = _q_related_hosts
     all_q["crawl_cadence_stats"] = _q_crawl_cadence_stats
+    all_q["stream_capture_rates"] = _q_stream_capture_rates
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate

@@ -313,3 +313,33 @@ def run_stream_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_host_fetch_counts(
+    captures_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """Streaming crawl-rate monitor: a live capture feed -> per
+    (event-time window, host) fetch counts — what a crawl controller
+    watches to enforce politeness budgets IN FLIGHT (the streaming
+    counterpart of frontier.politeness_schedule's static plan).
+    Watermarked windowed aggregation; host extraction is the same
+    codegen regex as the batch tier (frontier.host_of)."""
+    from .frontier import host_of
+
+    w = captures_stream.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            host_of(url_col).alias("host"),
+        )
+        .agg(F.count("*").alias("n_fetches"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_fetches",
+        )
+    )
