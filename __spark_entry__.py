@@ -2949,6 +2949,83 @@ ORDER BY window_start_ms, host
 """
 
 
+def _q_link_spam_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page link-spam signals composing three web-tier extractors
+    in one plan: WET words (wet.wet_records) + anchor links
+    (weblinks.extract_links) -> link density (links per link+word,
+    integer ppm — the boilerplate/link-farm discriminator C4-style
+    filters threshold on) and the external-link fraction.  Pages
+    carry doc_id%9 extra words, doc_id%5 external + doc_id%3
+    internal links (textless anchors, so the WET word count stays
+    pure text; doc_id%15==0 pages have NO links — the left-join zero
+    path), so the ppm ratios and the >400000 spam flag vary.
+    Closed-form oracle."""
+    from ffp_spark.frontier import host_of
+    from ffp_spark.weblinks import extract_links
+    from ffp_spark.wet import wet_records
+
+    _t(spark, sf_dir, "documents")
+    pages = spark.sql("""
+        SELECT concat('https://', source, '.example/doc/', doc_id) AS url,
+               concat('<html><body><p>base words',
+                      repeat(' w', CAST(doc_id % 9 AS INT)), '</p>',
+                      repeat(concat('<a href="https://x', doc_id % 4,
+                                    '.example/"></a>'),
+                             CAST(doc_id % 5 AS INT)),
+                      repeat('<a href="/in"></a>', CAST(doc_id % 3 AS INT)),
+                      '</body></html>') AS body
+        FROM documents
+    """)
+    words = wet_records(pages, html_col="body").select("url", "n_words")
+    links = extract_links(pages, html_col="body")
+    lc = (
+        links.groupBy("url")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.sum(
+                (host_of("href") != host_of("url")).cast("long")
+            ).alias("n_external"),
+        )
+    )
+    j = words.join(lc, "url", "left").select(
+        "url",
+        "n_words",
+        F.coalesce("n_links", F.lit(0)).alias("n_links"),
+        F.coalesce("n_external", F.lit(0)).alias("n_external"),
+    )
+    out = j.select(
+        "url",
+        "n_words",
+        "n_links",
+        "n_external",
+        F.expr(
+            "(1000000 * n_links) div (n_words + n_links)"
+        ).alias("link_density_ppm"),
+    )
+    return out.withColumn(
+        "is_spammy", F.col("link_density_ppm") > 400000
+    ).orderBy("url")
+
+
+_ORACLE_ONLY["link_spam_signals"] = """
+WITH p AS (
+  SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+         2 + doc_id % 9 AS n_words,
+         (doc_id % 5 + doc_id % 3) AS n_links,
+         doc_id % 5 AS n_external
+  FROM documents
+)
+SELECT url, CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_links AS BIGINT) AS n_links,
+       CAST(n_external AS BIGINT) AS n_external,
+       CAST((1000000 * n_links) // (n_words + n_links) AS BIGINT)
+         AS link_density_ppm,
+       (1000000 * n_links) // (n_words + n_links) > 400000 AS is_spammy
+FROM p
+ORDER BY url
+"""
+
+
 def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-crawl coverage (frontier.sitemap_coverage): how
     much of what each site DECLARES the crawl captured, and what the
@@ -8054,6 +8131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["related_hosts"] = _q_related_hosts
     all_q["crawl_cadence_stats"] = _q_crawl_cadence_stats
     all_q["stream_capture_rates"] = _q_stream_capture_rates
+    all_q["link_spam_signals"] = _q_link_spam_signals
 
     missing = [n for n in _GATE_WINDOW if n not in all_q]
     if missing:  # fail loudly at registration, not silently in the gate
