@@ -34,9 +34,25 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 PR_SCALE = 10**12  # one unit of PageRank mass, in integer micro-units
+
+# Iterative-algorithm working-set partitioning (guide §2.2): V- and
+# E-sized iteration state is partitioned by MEASURED size toward
+# ~32 MB partitions instead of inheriting spark.sql.shuffle.partitions.
+# A fixed partition count over-partitions eval-scale state into
+# hundreds-of-rows tasks (per-task overhead dominates the round) and
+# under-partitions web-scale state; the byte math adapts to both.
+ITER_PART_BYTES = 32 << 20
+
+
+def _iter_parts(n_rows: int, row_bytes: int = 48) -> int:
+    """Partition count for an iteration working set of ``n_rows``
+    narrow rows (~``row_bytes`` serialized bytes each)."""
+    import math
+
+    return max(1, math.ceil(n_rows * row_bytes / ITER_PART_BYTES))
 
 
 def analyze_snapshot(
@@ -128,12 +144,13 @@ def pagerank(
     integer recurrence, same per-iteration cost (the source flag rides
     the cached node table).
     """
-    # partition the E-sized edge set by src ONCE and cache it: the
-    # cached InMemoryRelation keeps hashpartitioning(src) visible to
-    # Catalyst, so every iteration's edge join shuffles only the
-    # V-sized rate table — the edges never move again.  (localCheckpoint
-    # would lose the partitioning and re-shuffle 10M+ edges per
-    # iteration; measured 1.9x slower at 10M edges, see SCALE.md.)
+    # canonicalize the edge set ONCE and materialize it with its row
+    # count observed on the same job (guide §1.4): the count sizes the
+    # iteration working sets (_iter_parts) so the edge cache and the
+    # V-sized score/node tables are partitioned by DATA SIZE, not by
+    # spark.sql.shuffle.partitions — the cached InMemoryRelation keeps
+    # hashpartitioning(src) visible to Catalyst, so every iteration's
+    # edge join shuffles only the V-sized score table.
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
         # multi-edges with different weights must not resolve to an
@@ -141,27 +158,30 @@ def pagerank(
         # them, which is both deterministic and the natural multigraph
         # semantics; unweighted edges stay a plain distinct
         cols.append(F.col(weight).cast("long").alias("w"))
-        e = (
-            edges.select(*cols)
-            .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
-            .repartition("src")
-            .cache()
-        )
+        e0 = edges.select(*cols).groupBy("src", "dst").agg(F.sum("w").alias("w"))
     else:
-        e = (
-            edges.select(*cols)
-            .dropDuplicates(["src", "dst"])
-            .repartition("src")
-            .cache()
-        )
-    # nodes partitioned by node for the same reason: the per-iteration
-    # left join against aggregated contributions is then exchange-free
-    # on both sides (contrib comes out of groupBy("node") pre-partitioned)
+        e0 = edges.select(*cols).dropDuplicates(["src", "dst"])
+    obs = Observation()
+    e_mat = e0.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint(
+        eager=True
+    )
+    p = _iter_parts(int(obs.get["m"]))
+    e = e_mat.repartition(p, "src").cache()
+    # out-degrees ride the cached V-sized node table (one static left
+    # join at setup) so each iteration is ONE E-sized join + one
+    # aggregation — the old per-iteration outdeg-by-scores join is gone
+    # (guide §2.4: two fewer exchanges per iteration)
+    out_agg = (
+        F.sum("w").alias("wsum") if weight is not None
+        else F.count("*").alias("outdeg")
+    )
+    deg_col = "wsum" if weight is not None else "outdeg"
+    outdeg = e.groupBy("src").agg(out_agg).withColumnRenamed("src", "node")
     nodes_plain = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(outdeg, "node", "left")
     )
     if sources is not None:
         # flag rides the cached V-sized table: per-iteration cost is
@@ -171,24 +191,21 @@ def pagerank(
         ).distinct().withColumn("_is_s", F.lit(1).cast("long"))
         nodes = (
             nodes_plain.join(srcs, "node", "left")
-            .select("node", F.coalesce("_is_s", F.lit(0)).cast("long").alias("is_s"))
-            .repartition("node")
+            .select(
+                "node",
+                F.coalesce("_is_s", F.lit(0)).cast("long").alias("is_s"),
+                deg_col,
+            )
+            .repartition(p, "node")
             .cache()
         )
     else:
         nodes = (
             nodes_plain.withColumn("is_s", F.lit(1).cast("long"))
-            .repartition("node")
+            .select("node", "is_s", deg_col)
+            .repartition(p, "node")
             .cache()
         )
-    # out-degrees are V-sized; dividing scores by outdeg at the NODE
-    # level (tiny join) before the E-sized edge join keeps the big join
-    # payload to one column — never attach outdeg to every edge
-    out_agg = (
-        F.sum("w").alias("wsum") if weight is not None
-        else F.count("*").alias("outdeg")
-    )
-    outdeg = e.groupBy("src").agg(out_agg).localCheckpoint(eager=True)
     if sources is not None:
         n = nodes.agg(F.sum("is_s")).collect()[0][0] or 0
         if n == 0:
@@ -197,41 +214,44 @@ def pagerank(
         n = nodes.count()
     base_q = (15 * scale) // (100 * n)
 
+    # scores carries (node, pr_q, outdeg/wsum): the per-src division
+    # still happens once per EDGE-JOIN ROW as before (same integers,
+    # identical integral results), but no separate rate join is needed
     scores = nodes.select(
-        "node", (F.col("is_s") * F.lit(scale // n)).cast("long").alias("pr_q")
+        "node",
+        (F.col("is_s") * F.lit(scale // n)).cast("long").alias("pr_q"),
+        deg_col,
     )
-    for _ in range(iters):
+    for i in range(iters):
         if weight is None:
-            rate = outdeg.join(scores, outdeg.src == scores.node).select(
-                "src", F.expr("pr_q div outdeg").alias("cq")
-            )
-            contrib_rows = e.join(rate, "src").select(
-                F.col("dst").alias("node"), "cq"
+            contrib_rows = e.join(scores, e.src == scores.node).select(
+                F.col("dst").alias("node"), F.expr("pr_q div outdeg").alias("cq")
             )
         else:
-            rate = outdeg.join(scores, outdeg.src == scores.node).select(
-                "src", "pr_q", "wsum"
-            )
-            contrib_rows = e.join(rate, "src").select(
+            contrib_rows = e.join(scores, e.src == scores.node).select(
                 F.col("dst").alias("node"),
                 F.expr("(pr_q * w) div wsum").alias("cq"),
             )
         contrib = contrib_rows.groupBy("node").agg(F.sum("cq").alias("in_q"))
-        scores = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("is_s") * F.lit(base_q)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(in_q, 0L)) div 100"
-                    )
-                ).cast("long").alias("pr_q"),
-            )
-            # truncate lineage every round: without this the plan depth
-            # (and re-execution risk) grows linearly with iters
-            .localCheckpoint(eager=True)
+        scores = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("is_s") * F.lit(base_q)
+                + F.expr(
+                    f"({damping_pct} * coalesce(in_q, 0L)) div 100"
+                )
+            ).cast("long").alias("pr_q"),
+            deg_col,
         )
+        # truncate lineage PERIODICALLY, not every round: the chained
+        # iterations execute as one job (stages pipeline, no per-round
+        # driver barrier or V-sized checkpoint write); the every-4th
+        # checkpoint bounds plan depth for large ``iters`` while the
+        # final eager checkpoint materializes the result once so the
+        # caches can be released before the caller's action
+        if (i + 1) % 4 == 0 and i != iters - 1:
+            scores = scores.localCheckpoint(eager=True)
+    scores = scores.select("node", "pr_q").localCheckpoint(eager=True)
     # scores is a materialized checkpoint — the working sets can go
     e.unpersist()
     nodes.unpersist()
@@ -582,33 +602,20 @@ def _min_label_converged(
     cc.py).  ``edges`` must be (src, dst); ``labels`` (node, lbl).
     Per round one edges->labels join + one min-agg.
 
-    The fingerprint collect is the loop's serial floor (VERDICT r5).
-    Checking every round is optimal for shallow colorings (scc's later
-    outer rounds converge in 1-3 rounds, where a fixed batch only adds
-    no-op propagation rounds — measured) but wasteful on deep chains,
-    so the check cadence is ADAPTIVE: every round for the first 3,
-    every 2nd to round 8, every 3rd beyond.  Min-label propagation is
-    idempotent at fixpoint, so batching never changes the result, it
-    only spends the batch remainder in no-op rounds to observe the
-    fixpoint.
+    The per-batch fingerprint rides the checkpoint materialization as
+    an Observation — no separate collect job per batch (round-7; the
+    former shape paid an extra agg scan per check plus one up-front).
+    Check cadence is ADAPTIVE (every round for the first 3, every 2nd
+    to round 8, every 3rd beyond): min-label propagation is idempotent
+    at fixpoint, so batching never changes the result, it only spends
+    the batch remainder in no-op rounds to observe the fixpoint.
 
     Raises RuntimeError if ``max_rounds`` exhausts before an observed
     fixpoint: an unconverged coloring would let scc() cut intra-SCC
     edges and return silently wrong components (ADVICE r5 — loud,
     never partial)."""
-    lab = labels.localCheckpoint(eager=True)
-
-    def _fp(df: DataFrame) -> int:
-        return int(
-            df.agg(
-                F.coalesce(
-                    F.sum(F.xxhash64("node", "lbl").cast("decimal(38,0)")),
-                    F.lit(0),
-                ).alias("h")
-            ).collect()[0]["h"]
-        )
-
-    prev = _fp(lab)
+    lab = labels
+    prev = None
     rounds = 0
     while rounds < max_rounds:
         step = 1 if rounds < 3 else (2 if rounds < 8 else 3)
@@ -625,9 +632,17 @@ def _min_label_converged(
             rounds += 1
         # checkpoint ONCE per check batch (lineage stays <= step joins):
         # the batch's rounds pipeline into a single job instead of one
-        # barrier per round, and the fingerprint reads the cached result
-        lab = lab.localCheckpoint(eager=True)
-        cur = _fp(lab)
+        # barrier per round, and the fingerprint is observed on that
+        # same job
+        obs = Observation()
+        lab = lab.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.xxhash64("node", "lbl").cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h"),
+        ).localCheckpoint(eager=True)
+        cur = int(obs.get["h"])
         if cur == prev:
             return lab
         prev = cur
@@ -662,36 +677,44 @@ def scc(
     oracle computes the same object independently via transitive
     closure, so no lockstep construction is needed.
     """
+    obs_e = Observation()
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_e = int(obs_e.get["n"])
+    obs_a = Observation()
     active = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(obs_a, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_active = int(obs_a.get["n"])
     # empty seed derived from the INPUT's id type (string graphs and
-    # bigint graphs both resolve exactly, no union coercion — ADVICE r5)
-    assigned = active.limit(0).select(
-        "node", F.col("node").alias("scc_id")
-    )
+    # bigint graphs both resolve exactly, no union coercion — ADVICE r5).
+    # ``parts`` accumulates the per-round settled frames LAZILY (each is
+    # a filter over a checkpointed fb table); nothing consumes the
+    # assignment mid-loop, so the union happens once at return instead
+    # of one checkpoint job per round.  Emptiness of the edge/active
+    # sets rides the materialization jobs as observed counts — the
+    # former per-round isEmpty() probe jobs are gone (round-7).
+    parts = [active.limit(0).select("node", F.col("node").alias("scc_id"))]
     drained = False
     for _ in range(max_outer):
-        if active.isEmpty():
+        if n_active == 0:
             drained = True
             break
-        if e.isEmpty():
+        if n_e == 0:
             # no edges left in the active subgraph: every remaining
             # node is trivially its own SCC — skips the entire last
             # outer round of colorings (the common tail: a cloud of
             # singletons after the giant components settle)
-            assigned = assigned.unionByName(
-                active.select("node", F.col("node").alias("scc_id"))
-            ).localCheckpoint(eager=True)
+            parts.append(active.select("node", F.col("node").alias("scc_id")))
             drained = True
             break
         init = active.select("node", F.col("node").alias("lbl"))
@@ -700,7 +723,10 @@ def scc(
         # so the outer round's barrier count is max(f, b) instead of
         # f + b — on a cluster the two propagation jobs interleave on
         # free slots, and each inner round is a partial-agg'd V-sized
-        # min, so neither starves the other (round-6 shave)
+        # min, so neither starves the other (round-6 shave; a fused
+        # single-table f+b coloring was tried in round 7 and measured
+        # ~35% SLOWER — serializing the rounds costs more than the
+        # per-job overhead it saves)
         from concurrent.futures import ThreadPoolExecutor
 
         e_rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -709,14 +735,27 @@ def scc(
             b_fut = pool.submit(_min_label_converged, e_rev, init, max_inner)
             f = f_fut.result().withColumnRenamed("lbl", "f")
             b = b_fut.result().withColumnRenamed("lbl", "b")
-        fb = f.join(b, "node").localCheckpoint(eager=True)
-        done = fb.where(F.col("f") == F.col("b")).select(
-            "node", F.col("f").alias("scc_id")
+        obs_fb = Observation()
+        fb = (
+            f.join(b, "node")
+            .observe(
+                obs_fb,
+                F.coalesce(
+                    F.sum((F.col("f") != F.col("b")).cast("long")), F.lit(0)
+                ).alias("na"),
+            )
+            .localCheckpoint(eager=True)
         )
-        assigned = assigned.unionByName(done).localCheckpoint(eager=True)
-        active = fb.where(F.col("f") != F.col("b")).select("node").localCheckpoint(
-            eager=True
+        n_active = int(obs_fb.get["na"])
+        parts.append(
+            fb.where(F.col("f") == F.col("b")).select(
+                "node", F.col("f").alias("scc_id")
+            )
         )
+        active = fb.where(F.col("f") != F.col("b")).select("node")
+        if n_active == 0:
+            drained = True
+            break
         # keep only edges inside one surviving (f, b) class
         cls_s = fb.select(
             F.col("node").alias("src"), F.col("f").alias("fs"), F.col("b").alias("bs")
@@ -724,6 +763,7 @@ def scc(
         cls_d = fb.select(
             F.col("node").alias("dst"), F.col("f").alias("fd"), F.col("b").alias("bd")
         )
+        obs_ne = Observation()
         e = (
             e.join(cls_s, "src")
             .join(cls_d, "dst")
@@ -733,15 +773,20 @@ def scc(
                 & (F.col("fs") != F.col("bs"))
             )
             .select("src", "dst")
+            .observe(obs_ne, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-    if not drained and not active.isEmpty():
+        n_e = int(obs_ne.get["n"])
+    if not drained and n_active > 0:
         # ADVICE r5: nodes still active when the outer loop exhausts
         # must never be silently omitted from the assignment
         raise RuntimeError(
             f"scc did not assign every node within max_outer={max_outer} "
             f"rounds; raise max_outer"
         )
+    assigned = parts[0]
+    for part in parts[1:]:
+        assigned = assigned.unionByName(part)
     return assigned
 
 
@@ -902,29 +947,29 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     def _norm(raw: DataFrame) -> DataFrame:
-        # keep zero-score nodes (they dropped out of the groupBy) and
-        # divide by the global total — a single-row broadcast
-        full = nodes.join(raw, "node", "left").select(
-            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        # the global total is identical whether or not zero-raw nodes
+        # are attached (they add 0), so normalize the aggregated rows
+        # only: nodes absent from ``raw`` would come out at exactly
+        # (0 * scale) div tot = 0 and are re-attached ONCE at the end
+        # instead of via a V-sized left join every half-step.  The
+        # total rides the materialization job as an Observation — the
+        # old aggregate-then-crossJoin shape evaluated the whole raw
+        # aggregation subtree TWICE per half-step (Spark does not
+        # dedupe common subtrees, guide §7.2).
+        obs = Observation()
+        mat = raw.observe(obs, F.sum("raw").alias("tot")).localCheckpoint(
+            eager=True
         )
-        tot = full.agg(F.sum("raw").alias("tot"))
-        return (
-            full.crossJoin(tot)
-            .select(
-                "node",
-                F.expr(f"(raw * {scale}) div tot").cast("long").alias("q"),
-            )
-            .localCheckpoint(eager=True)
+        tot = int(obs.get["tot"])
+        return mat.select(
+            "node", F.expr(f"(raw * {scale}) div {tot}").cast("long").alias("q")
         )
 
-    h = nodes.select("node", F.lit(scale).cast("long").alias("q")).localCheckpoint(
-        eager=True
-    )
+    h = nodes.select("node", F.lit(scale).cast("long").alias("q"))
     a = None
     for _ in range(iters):
         a_raw = (
@@ -941,12 +986,18 @@ def hits(
             .agg(F.sum("q").alias("raw"))
         )
         h = _norm(h_raw)
+    # zero-fill: nodes with no in-(out-)edges never entered the raw
+    # aggregations; their exact score is 0 under the same recurrence
     out = (
-        h.select("node", F.col("q").alias("hub_q"))
-        .join(a.select("node", F.col("q").alias("auth_q")), "node")
+        nodes.join(h.select("node", F.col("q").alias("hub_q")), "node", "left")
+        .join(a.select("node", F.col("q").alias("auth_q")), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_q", F.lit(0)).cast("long").alias("hub_q"),
+            F.coalesce("auth_q", F.lit(0)).cast("long").alias("auth_q"),
+        )
     )
     e.unpersist()
-    nodes.unpersist()
     return out
 
 
