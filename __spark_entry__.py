@@ -7783,6 +7783,48 @@ _SQL_QUERIES["bigram_lm_surprisal"] = _bigram_lm_sql("duck", "//")
 _SPARK_DIALECT["bigram_lm_surprisal"] = _bigram_lm_sql("spark", "div")
 
 
+def _q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side restructuring of the same computation (round 7): the
+    shared ``bg`` gram stream is materialized ONCE — Spark inlines WITH
+    CTEs, so the single-statement form re-evaluated the corpus explode
+    + split subtree ~6x in one plan (tr x3 consumers, ho x2; guide
+    §7.2 duplicated-subtree check).  Every expression downstream is
+    textually identical to the CTE version, so the result is
+    bit-identical to the frozen DuckDB oracle (proved via
+    tools/oracle_check.py at sf0.01 and sf0.001)."""
+    _t(spark, sf_dir, "documents")
+    bg = spark.sql(f"""
+        SELECT doc_id, split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+        FROM ({_grams(2, "spark")}) g
+    """).localCheckpoint(eager=True)
+    bg.createOrReplaceTempView("_r7_bigram_bg")
+    return spark.sql("""
+WITH tr AS (SELECT w1, w2 FROM _r7_bigram_bg WHERE doc_id % 10 < 8),
+c12 AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c FROM tr GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS nv
+      FROM (SELECT w1 AS tok FROM tr UNION SELECT w2 AS tok FROM tr) u),
+ho AS (SELECT doc_id, w1, w2 FROM _r7_bigram_bg WHERE doc_id % 10 >= 8),
+types AS (SELECT DISTINCT w1, w2 FROM ho),
+surp AS (
+  SELECT t.w1, t.w2,
+         CAST(round(ln((coalesce(c1.c, 0) + (SELECT nv FROM v)) * 1.0
+                       / (coalesce(c12.c, 0) + 1)) * 10000, 0) AS BIGINT) AS s
+  FROM types t
+  LEFT JOIN c12 ON c12.w1 = t.w1 AND c12.w2 = t.w2
+  LEFT JOIN c1 ON c1.w1 = t.w1
+),
+doc AS (
+  SELECT h.doc_id, count(*) AS n_bigrams, sum(s.s) AS s_sum
+  FROM ho h JOIN surp s ON s.w1 = h.w1 AND s.w2 = h.w2
+  GROUP BY h.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(s_sum div n_bigrams AS BIGINT) AS mean_surprisal_tenthmilli
+FROM doc ORDER BY mean_surprisal_tenthmilli DESC, doc_id LIMIT 20
+""")
+
+
 # Boilerplate-chunk removal (CCNet-style): chop each doc into
 # non-overlapping word chunks, rank chunk TYPES by cross-document
 # frequency, call the top decile boilerplate, and report per-doc
@@ -8025,6 +8067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SQL_QUERIES.items():
         all_q[name] = _sql_to_spark(name, _SPARK_DIALECT.get(name, sql))
+    # Spark-side restructurings of SQL-text queries (same computation,
+    # shared subtree materialized once — see each fn's docstring; the
+    # DuckDB oracle text in _SQL_QUERIES is untouched)
+    all_q["bigram_lm_surprisal"] = _q_bigram_lm_surprisal
     all_q["entry_link_rels"] = _q_entry_link_rels
     all_q["entry_tags"] = _q_entry_tags
     all_q["entry_enclosures"] = _q_entry_enclosures

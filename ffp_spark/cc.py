@@ -67,36 +67,60 @@ def connected_components(
     cur = cur.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).dropDuplicates(["src", "dst"])
+    scoped_p = None
     if checkpoint:
         # materialize the input ONCE: each star round references its
         # input several times (the union + two consumers of nbrs), and
         # Spark does not dedupe common subtrees — without this the whole
         # upstream edge-building pipeline executes ~4x inside round 0
-        # (measured 150s -> 32s for CC at 100k pages)
-        cur = cur.localCheckpoint(eager=True)
+        # (measured 150s -> 32s for CC at 100k pages).  The edge count
+        # rides the same job and sizes the star rounds' shuffles
+        # (graph._iter_parts, guide §2.2) — star-round work is a few
+        # narrow columns of trivial per-row cost, so partitioning it by
+        # bytes instead of one-per-core removes the tiny-task overhead
+        # that dominates each round at small scale without costing
+        # parallelism at web scale.
+        obs0 = Observation()
+        cur = cur.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        from .graph import _iter_parts
 
-    prev_fp = None
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur))
-        if checkpoint:
-            # fold the convergence fingerprint into the checkpoint
-            # materialization via an observed metric — one job per
-            # round instead of two (checkpoint + separate agg scan)
-            obs = Observation()
-            cur = cur.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
-                ).alias("h"),
-            )
-            cur = cur.localCheckpoint(eager=True)
-            fp = (int(obs.get["n"]), int(obs.get["h"]))
-        else:
-            fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+        scoped_p = _iter_parts(
+            int(obs0.get["n"]),
+            edges.sparkSession.sparkContext.defaultParallelism,
+        )
+
+    spark = edges.sparkSession
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    if scoped_p is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(scoped_p))
+    try:
+        prev_fp = None
+        for _ in range(max_iter):
+            cur = _small_star(_large_star(cur))
+            if checkpoint:
+                # fold the convergence fingerprint into the checkpoint
+                # materialization via an observed metric — one job per
+                # round instead of two (checkpoint + separate agg scan)
+                obs = Observation()
+                cur = cur.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+                    ).alias("h"),
+                )
+                cur = cur.localCheckpoint(eager=True)
+                fp = (int(obs.get["n"]), int(obs.get["h"]))
+            else:
+                fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    finally:
+        if scoped_p is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_p)
 
     # After convergence the edge set is a star forest: dst is the root.
     members = cur.select(F.col("src").alias("node_id"), F.col("dst").alias("component_id"))

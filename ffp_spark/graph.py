@@ -39,20 +39,28 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 PR_SCALE = 10**12  # one unit of PageRank mass, in integer micro-units
 
 # Iterative-algorithm working-set partitioning (guide §2.2): V- and
-# E-sized iteration state is partitioned by MEASURED size toward
-# ~32 MB partitions instead of inheriting spark.sql.shuffle.partitions.
-# A fixed partition count over-partitions eval-scale state into
-# hundreds-of-rows tasks (per-task overhead dominates the round) and
-# under-partitions web-scale state; the byte math adapts to both.
+# E-sized iteration state is partitioned by MEASURED size instead of
+# inheriting spark.sql.shuffle.partitions.  Two bounds compose: a byte
+# target (~32 MB per partition — dominates at web scale) and a
+# rows-per-task floor capped at the cluster parallelism (keeps the
+# join/agg compute of mid-size sets parallel; a single 500k-row task
+# measured ~2s slower per algorithm than eight).  A fixed partition
+# count over-partitions eval-scale state into hundreds-of-rows tasks
+# (per-task overhead dominates the round) and under-partitions
+# web-scale state; the measured math adapts to both.
 ITER_PART_BYTES = 32 << 20
+ITER_ROWS_PER_TASK = 65536
 
 
-def _iter_parts(n_rows: int, row_bytes: int = 48) -> int:
+def _iter_parts(n_rows: int, parallelism: int, row_bytes: int = 48) -> int:
     """Partition count for an iteration working set of ``n_rows``
-    narrow rows (~``row_bytes`` serialized bytes each)."""
+    narrow rows (~``row_bytes`` serialized bytes each) on a cluster
+    offering ``parallelism`` concurrent task slots."""
     import math
 
-    return max(1, math.ceil(n_rows * row_bytes / ITER_PART_BYTES))
+    by_bytes = math.ceil(n_rows * row_bytes / ITER_PART_BYTES)
+    by_rows = min(math.ceil(n_rows / ITER_ROWS_PER_TASK), max(1, parallelism))
+    return max(1, by_bytes, by_rows)
 
 
 def analyze_snapshot(
@@ -71,26 +79,46 @@ def analyze_snapshot(
     ``top_pagerank`` (node, pr_q, kind, label), ``triangles``
     (n_nodes, n_edges, n_triangles).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .snapshots import read_snapshot_bucketed
 
     edges = read_snapshot_bucketed(spark, root, "edges", snapshot_id)
     nodes = read_snapshot_bucketed(spark, root, "nodes", snapshot_id)
-    deg = degree_histogram(edges).orderBy("degree")
-    top = (
-        pagerank(edges, iters=pr_iters)
-        .join(
-            nodes.select(F.col("node_id").alias("node"), "kind", "label"),
-            "node",
-            "left",
+
+    # the three reports are independent jobs over the same committed
+    # tables: materialize them CONCURRENTLY (guide §2.6 — a later job's
+    # tasks back-fill slots freed by an earlier job's tail) and return
+    # the materialized frames, so the caller's collects are instant and
+    # the wall is max(report) instead of sum(report)
+    def _deg() -> DataFrame:
+        return degree_histogram(edges).orderBy("degree").localCheckpoint(eager=True)
+
+    def _top() -> DataFrame:
+        return (
+            pagerank(edges, iters=pr_iters)
+            .join(
+                nodes.select(F.col("node_id").alias("node"), "kind", "label"),
+                "node",
+                "left",
+            )
+            .orderBy(F.desc("pr_q"), "node")
+            .limit(top_k)
+            .localCheckpoint(eager=True)
         )
-        .orderBy(F.desc("pr_q"), "node")
-        .limit(top_k)
-    )
-    return {
-        "degree_histogram": deg,
-        "top_pagerank": top,
-        "triangles": triangle_count(edges),
-    }
+
+    def _tri() -> DataFrame:
+        return triangle_count(edges).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_deg = pool.submit(_deg)
+        f_top = pool.submit(_top)
+        f_tri = pool.submit(_tri)
+        return {
+            "degree_histogram": f_deg.result(),
+            "top_pagerank": f_top.result(),
+            "triangles": f_tri.result(),
+        }
 
 
 def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -165,7 +193,9 @@ def pagerank(
     e_mat = e0.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint(
         eager=True
     )
-    p = _iter_parts(int(obs.get["m"]))
+    p = _iter_parts(
+        int(obs.get["m"]), edges.sparkSession.sparkContext.defaultParallelism
+    )
     e = e_mat.repartition(p, "src").cache()
     # out-degrees ride the cached V-sized node table (one static left
     # join at setup) so each iteration is ONE E-sized join + one
@@ -937,12 +967,22 @@ def hits(
     once, scores V-sized) + one groupBy + a single-row total that
     broadcasts; per-step localCheckpoint keeps lineage O(1).
     """
-    e = (
+    obs_e = Observation()
+    e_mat = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition("src")
-        .cache()
+        .observe(obs_e, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
     )
+    # partition the edge cache by measured size (_iter_parts, guide
+    # §2.2) — same discipline as pagerank
+    e = e_mat.repartition(
+        _iter_parts(
+            int(obs_e.get["m"]),
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ),
+        "src",
+    ).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -142,6 +142,14 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (round 7): spark.sql.adaptive.coalescePartitions.
+        # parallelismFirst=false (size-only AQE coalescing, guide §9) was
+        # measured across the full suite and REGRESSED it 130s -> 187s:
+        # compute-heavy small shuffles (HyperBall register merges, the
+        # interpreted HOF scoring stages) collapse to one partition and
+        # serialize.  Partition-count reduction is applied surgically
+        # per operator from observed input sizes (graph._iter_parts)
+        # instead.
         # measured on the binary-payload parse path at 32 cores: arrow
         # batches of 256 rows keep the JVM writer / Python parser pipeline
         # overlapped (2x faster than 1024); parquet columnar batches of
@@ -499,6 +507,14 @@ def _run_snapshot_body(
     import time
 
     t0 = time.perf_counter()
+    # materialize the redirect-resolved PARSED table ONCE (round 7):
+    # every downstream job — the ~10 linking/CC jobs, the lineage
+    # aggregate, the error histogram, and the triples/nodes/edges
+    # commits — scans ``parsed``, and Spark re-evaluates the resolve
+    # union (raw-cache scan + redirect-layer joins) per job; one eager
+    # checkpoint turns those into RDD scans.  The raw parse cache stays
+    # the parse stage's artifact; this adds one V-sized local write.
+    parsed = parsed.localCheckpoint(eager=True)
     # link_and_canonicalize runs its CC jobs eagerly and returns a
     # cached mapping (the broadcast dimension of the salted author join,
     # consumed by three write jobs); unpersisted after the commits
@@ -617,7 +633,14 @@ def _commit_snapshot(
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.perf_counter()
-    seen = pages.select("url", "part_id")
+    # fresh runs read the seen-url set off the MATERIALIZED parsed table
+    # (row-identical: parse emits one row per input page, errors
+    # included, and part_id is the same deterministic url hash) instead
+    # of re-scanning the pages SOURCE — for generated/WARC sources that
+    # re-scan re-runs the whole Python ingest at commit time.  Resumed
+    # runs keep the source scan: parsed covers only the re-done parts.
+    seen_src = parsed if prior_lineage is None else pages
+    seen = seen_src.select("url", "part_id")
     if prior_seen is not None:
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
     from .snapshots import write_snapshot_bucketed

@@ -306,6 +306,7 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
     single string replace per word."""
     seqs = _bpe_word_seqs(docs, text_col=text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    pending = 0
     for step in range(1, int(n_merges) + 1):
         top = (
             _bpe_pair_counts(seqs)
@@ -319,9 +320,16 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
         merges.append((step, left, right, n))
         pat = BPE_D + left + BPE_D + BPE_D + right + BPE_D
         rep = BPE_D + left + right + BPE_D
-        seqs = seqs.withColumn(
-            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
-        ).localCheckpoint(eager=True)
+        # the replace is a cheap projection over the word-TYPE table:
+        # let a few of them stack lazily on the last checkpoint instead
+        # of paying one materialization job per merge (round 7 — halves
+        # the barrier count; each round's argmax collect re-applies at
+        # most 3 pending replaces, string ops over vocabulary-sized data)
+        seqs = seqs.withColumn("seq", F.replace("seq", F.lit(pat), F.lit(rep)))
+        pending += 1
+        if pending == 4:
+            seqs = seqs.localCheckpoint(eager=True)
+            pending = 0
     return merges, seqs
 
 
