@@ -338,16 +338,20 @@ def semdedup(
     no RNG).  Returns discarded rows: (id_col, cell, n_lower,
     best_sim).
 
-    ``backend``: "sql" scores pairs with a JVM self-join (default at
-    <= MAX_LITERAL_CELLS cells — the oracle-eval shape); "arrow" routes
-    assignment through the broadcast-centroid mapInArrow path and pair
-    cosines through ``_semdedup_pairs_arrow`` (default above
-    MAX_LITERAL_CELLS — the 100 TB shape).  Both produce bit-identical
-    discards; the pair count stays bounded by within-cell sizes either
-    way (never corpus all-pairs).
+    ``backend``: "sql" scores pairs with a JVM self-join; "arrow"
+    routes assignment through the broadcast-centroid mapInArrow path
+    and pair cosines through ``_semdedup_pairs_arrow``.  Both produce
+    bit-identical discards (tests/test_ann_textops.py asserts
+    equality); the pair count stays bounded by within-cell sizes
+    either way (never corpus all-pairs).  "auto" picks arrow at EVERY
+    cell count since round 7: the JVM self-join runs each pair's
+    64-dim dot product through interpreted higher-order functions
+    (no codegen) and measured ~3x slower than the numpy gram-matrix
+    fold even at eval scale (guide §4.2 — hand whole batches to
+    vectorized native code).
     """
     if backend == "auto":
-        backend = "arrow" if n_cells > MAX_LITERAL_CELLS else "sql"
+        backend = "arrow"
     asgn_backend = "arrow" if backend == "arrow" else "auto"
     cents = ivf_centroids(
         emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, backend=asgn_backend,

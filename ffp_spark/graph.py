@@ -413,6 +413,7 @@ def ktruss_edges(
     the charge-join used to drop them).
     """
     support = max(0, k - 2)
+    obs0 = Observation()
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -420,6 +421,7 @@ def ktruss_edges(
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     if support == 0:
@@ -447,7 +449,9 @@ def ktruss_edges(
         .select("o.u", "o.v")  # 2 columns only: the wedge join scans this
         .localCheckpoint(eager=True)
     )
-    prev_n = e.count()
+    # counts ride the materialization jobs as Observations (round 7):
+    # no separate count job per round
+    prev_n = int(obs0.get["n"])
     for r in range(rounds):
         o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
         o2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
@@ -479,10 +483,15 @@ def ktruss_edges(
             .where(F.col("s") >= support)
             .select("a", "b")
         )
-        e = e.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+        obs_r = Observation()
+        e = (
+            e.join(keep, ["a", "b"], "left_semi")
+            .observe(obs_r, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
         if r == rounds - 1:
             break  # round budget spent: no early-stop bookkeeping
-        n = e.count()
+        n = int(obs_r.get["n"])
         if n == prev_n:
             break  # fixpoint: no edge dropped, supports unchanged
         prev_n = n
@@ -734,6 +743,47 @@ def scc(
     # sets rides the materialization jobs as observed counts — the
     # former per-round isEmpty() probe jobs are gone (round-7).
     parts = [active.limit(0).select("node", F.col("node").alias("scc_id"))]
+    # size the coloring rounds' shuffles from the observed edge count
+    # (same scoped discipline as cc.connected_components): label
+    # propagation is narrow integer/string rows of trivial per-row
+    # cost, so byte/row-floor sizing beats one-partition-per-core
+    spark = edges.sparkSession
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_iter_parts(n_e, spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        drained, n_active = _scc_loop(
+            e, active, parts, n_e, n_active, max_outer, max_inner
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_p)
+    if not drained and n_active > 0:
+        # ADVICE r5: nodes still active when the outer loop exhausts
+        # must never be silently omitted from the assignment
+        raise RuntimeError(
+            f"scc did not assign every node within max_outer={max_outer} "
+            f"rounds; raise max_outer"
+        )
+    assigned = parts[0]
+    for part in parts[1:]:
+        assigned = assigned.unionByName(part)
+    return assigned
+
+
+def _scc_loop(
+    e: DataFrame,
+    active: DataFrame,
+    parts: list,
+    n_e: int,
+    n_active: int,
+    max_outer: int,
+    max_inner: int,
+) -> tuple[bool, int]:
+    """The scc() outer loop, split out so the caller can scope the
+    shuffle-partition override with try/finally around it.  Appends
+    settled frames to ``parts``; returns (drained, n_active)."""
     drained = False
     for _ in range(max_outer):
         if n_active == 0:
@@ -807,17 +857,7 @@ def scc(
             .localCheckpoint(eager=True)
         )
         n_e = int(obs_ne.get["n"])
-    if not drained and n_active > 0:
-        # ADVICE r5: nodes still active when the outer loop exhausts
-        # must never be silently omitted from the assignment
-        raise RuntimeError(
-            f"scc did not assign every node within max_outer={max_outer} "
-            f"rounds; raise max_outer"
-        )
-    assigned = parts[0]
-    for part in parts[1:]:
-        assigned = assigned.unionByName(part)
-    return assigned
+    return drained, n_active
 
 
 def label_propagation(
@@ -902,14 +942,17 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
+        # lazy checkpoints throughout (round 7): every intermediate is
+        # stored on first computation inside the caller's ONE job
+        # instead of paying an eager driver barrier per intermediate
+        .localCheckpoint(eager=False)
     )
     ends = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))
     )
     # deg is consumed three times (both orientation sides + node count)
     deg = ends.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint(
-        eager=True
+        eager=False
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
@@ -927,7 +970,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)  # consumed three times below
+        .localCheckpoint(eager=False)  # consumed three times below
     )
     o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     o2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
@@ -1339,7 +1382,9 @@ def link_prediction(
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)  # consumed by adj, deg and anti-join
+        # lazy: consumed by adj, deg and anti-join inside the caller's
+        # one action — stored on first computation, no driver barrier
+        .localCheckpoint(eager=False)
     )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
@@ -1410,9 +1455,23 @@ def modularity(
     lab = labels.select(F.col("node"), F.col("label"))
     la = lab.select(F.col("node").alias("a"), F.col("label").alias("ca"))
     lb = lab.select(F.col("node").alias("b"), F.col("label").alias("cb"))
-    tagged = und.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
-    m = tagged.count()
-    intra = tagged.where(F.col("ca") == F.col("cb")).count()
+    # edge and intra-edge counts ride the materialization job as
+    # Observations — the two former count() jobs are gone (round 7)
+    obs_t = Observation()
+    tagged = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .observe(
+            obs_t,
+            F.count(F.lit(1)).alias("m"),
+            F.coalesce(
+                F.sum((F.col("ca") == F.col("cb")).cast("long")), F.lit(0)
+            ).alias("intra"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = int(obs_t.get["m"])
+    intra = int(obs_t.get["intra"])
     # D_c = sum of degrees of nodes labeled c; degree from the SAME
     # tagged edge list so dangling label rows cannot skew the moment
     dsum = (
@@ -1483,7 +1542,10 @@ def _hb_init(edges: DataFrame, src: str, dst: str):
                 )
             ).cast("int").alias("pb"),
         )
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the register table materializes inside the
+        # consumer's single fused job (round 7 — no per-stage barrier),
+        # is stored on first computation, and still truncates lineage
+        .localCheckpoint(eager=False)
     )
     return adj, ball
 
@@ -1500,7 +1562,11 @@ def _hb_merge_round(adj: DataFrame, ball: DataFrame) -> DataFrame:
         .groupBy("node", F.expr(f"pb div {HB_REGISTERS}").alias("bk"))
         .agg(F.max("pb").alias("pb"))
         .select("node", "pb")
-        .localCheckpoint(eager=True)
+        # lazy: rounds chain into ONE job at the caller's final
+        # materialization; each round's table is stored when first
+        # computed, so later rounds and per-radius aggregates read it
+        # instead of recomputing (round 7)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1537,12 +1603,16 @@ def neighborhood_hll(
     adj, ball = _hb_init(edges, src, dst)
     for _ in range(radius):
         ball = _hb_merge_round(adj, ball)
-    adj.unpersist()
-    return _hb_sums(ball).select(
+    # ONE eager materialization executes every (lazy-checkpointed)
+    # round as a single fused job, after which the adjacency cache can
+    # be released before the caller's action
+    out = _hb_sums(ball).select(
         "node",
         F.round(_hb_est_expr(), 2).alias("hll_est"),
         F.col("nz").cast("long").alias("nonzero_registers"),
-    )
+    ).localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
 
 
 def _hb_sums(ball: DataFrame) -> DataFrame:
@@ -1613,7 +1683,6 @@ def harmonic_centrality(
     for r in range(1, radius + 1):
         ball = _hb_merge_round(adj, ball)
         qs.append(_hb_q(ball, r))
-    adj.unpersist()
     joined = qs[0]
     for q in qs[1:]:
         joined = joined.join(q, "node")
@@ -1621,7 +1690,13 @@ def harmonic_centrality(
         (F.col(f"q{r}") - F.col(f"q{r - 1}")) * F.lit(weight_lcm // r)
         for r in range(1, radius + 1)
     )
-    return joined.select("node", hc.cast("long").alias("hc_q"))
+    # one fused job (see neighborhood_hll); the per-radius aggregates
+    # read each stored round table instead of re-running earlier rounds
+    out = joined.select("node", hc.cast("long").alias("hc_q")).localCheckpoint(
+        eager=True
+    )
+    adj.unpersist()
+    return out
 
 
 def neighborhood_function(
@@ -1655,10 +1730,11 @@ def neighborhood_function(
                 F.lit(r).cast("long").alias("radius"), "nf_q"
             )
         )
-    adj.unpersist()
     out = rows[0]
     for frame in rows[1:]:
         out = out.unionByName(frame)
+    out = out.localCheckpoint(eager=True)  # one fused job, see above
+    adj.unpersist()
     return out
 
 

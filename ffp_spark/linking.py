@@ -86,6 +86,23 @@ def minhash_udf(
         import hashlib
 
         md5 = hashlib.md5
+        # per-task shingle-hash memo (guide §4.5): shingle TYPES repeat
+        # heavily across rows (shared vocabulary), so the md5 — the
+        # dominant per-shingle cost — runs once per distinct shingle
+        # seen by this task instead of once per occurrence.  Values are
+        # identical by construction; the cap bounds worker memory on
+        # adversarial corpora.
+        hcache: dict[str, int] = {}
+
+        def h32(sh: str) -> int:
+            v = hcache.get(sh)
+            if v is None:
+                v = int.from_bytes(md5(sh.encode("utf-8")).digest()[:4], "big")
+                if len(hcache) > 2_000_000:
+                    hcache.clear()
+                hcache[sh] = v
+            return v
+
         out = []
         for s in col:
             if s is None:
@@ -105,10 +122,7 @@ def minhash_udf(
                     continue
                 shingles = {s[i : i + width] for i in range(len(s) - width + 1)}
             h = np.fromiter(
-                (
-                    int.from_bytes(md5(sh.encode("utf-8")).digest()[:4], "big")
-                    for sh in shingles
-                ),
+                (h32(sh) for sh in shingles),
                 dtype=np.int64,
                 count=len(shingles),
             )
