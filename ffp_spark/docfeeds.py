@@ -133,4 +133,17 @@ def documents_as_pages(documents: DataFrame) -> DataFrame:
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # guide §2.5 (input skew): a small documents table arrives as ONE
+    # parquet split, which would serialize the downstream Python
+    # doc->feed->parse chain onto a single task regardless of cluster
+    # width.  Spread to cluster parallelism when (and only when) the
+    # scan has fewer splits — at production scale the table has more
+    # splits than cores and this is a no-op.  Round-robin repartition
+    # with Spark's default sort-before-repartition keeps the row-to-
+    # partition map deterministic under retries; all consumers
+    # aggregate, so results are partitioning-independent anyway.
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df

