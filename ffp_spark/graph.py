@@ -810,6 +810,11 @@ def _scc_loop(
         from concurrent.futures import ThreadPoolExecutor
 
         e_rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # a size-gated broadcast of the label side was tried here
+        # (round 7) and measured neutral-to-worse: mid-batch label
+        # subtrees are lazy, so each broadcast re-executes the chain
+        # prefix on the build side.  The checkpoint-per-batch shape
+        # keeps the shuffle join.
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_fut = pool.submit(_min_label_converged, e, init, max_inner)
             b_fut = pool.submit(_min_label_converged, e_rev, init, max_inner)
@@ -1026,12 +1031,25 @@ def hits(
         ),
         "src",
     ).cache()
+    obs_n = Observation()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # size-gated broadcast of the V-sized score tables (guide §3.1):
+    # checkpointed RDDs carry no Catalyst stats, so the planner never
+    # broadcasts them on its own and every half-step would shuffle the
+    # scores against the edge cache.  The EXACT node count is known
+    # from the observation — broadcast while the built relation stays
+    # small (~250k rows ≈ 16 MB framed), shuffle join beyond that.
+    # Measured 2x on the eval graph; join strategy, not results.
+    small_v = int(obs_n.get["n"]) < 250_000
+
+    def _maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_v else df
 
     def _norm(raw: DataFrame) -> DataFrame:
         # the global total is identical whether or not zero-raw nodes
@@ -1048,11 +1066,14 @@ def hits(
             eager=True
         )
         tot = int(obs.get["tot"])
-        return mat.select(
-            "node", F.expr(f"(raw * {scale}) div {tot}").cast("long").alias("q")
+        return _maybe_b(
+            mat.select(
+                "node",
+                F.expr(f"(raw * {scale}) div {tot}").cast("long").alias("q"),
+            )
         )
 
-    h = nodes.select("node", F.lit(scale).cast("long").alias("q"))
+    h = _maybe_b(nodes.select("node", F.lit(scale).cast("long").alias("q")))
     a = None
     for _ in range(iters):
         a_raw = (
