@@ -7148,6 +7148,54 @@ ORDER BY m.true_entity
 """
 
 
+def _q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side restructuring (round 7, same computation): the
+    mention table materializes once (three consumers) and levenshtein
+    is computed ONCE per candidate row in a sub-select — the
+    single-statement form re-evaluated it in the projection, the WHERE
+    and the window ORDER BY (no CSE across those operators; guide
+    §7.2).  ORDER BY dist ties are identical to ORDER BY
+    levenshtein(...); bit-identical vs the frozen oracle at both sfs."""
+    _t(spark, sf_dir, "customer", "nation")
+    m = spark.sql("""
+  SELECT c_custkey AS mention_id, n_name AS true_entity,
+         concat(substring(n_name, 1, CAST(c_custkey % length(n_name) AS INT)),
+                substring(n_name, CAST(c_custkey % length(n_name) AS INT) + 2)) AS mention
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+""").localCheckpoint(eager=True)
+    m.createOrReplaceTempView("_r7_er_m")
+    return spark.sql("""
+WITH cand AS (
+  SELECT m.mention_id, m.mention, m.true_entity, n.n_name AS entity
+  FROM _r7_er_m m JOIN nation n ON substring(m.mention, 1, 1) = substring(n.n_name, 1, 1)
+  UNION
+  SELECT m.mention_id, m.mention, m.true_entity, n.n_name AS entity
+  FROM _r7_er_m m JOIN nation n ON right(m.mention, 1) = right(n.n_name, 1)
+),
+scored0 AS (
+  SELECT mention_id, true_entity, entity,
+         levenshtein(mention, entity) AS dist
+  FROM cand
+),
+scored AS (
+  SELECT mention_id, true_entity, entity, dist,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY dist, entity) AS rn
+  FROM scored0
+  WHERE dist <= 2
+),
+res AS (SELECT mention_id, true_entity, entity, dist FROM scored WHERE rn = 1)
+SELECT m.true_entity,
+       count(*) AS n_mentions,
+       CAST(count(r.entity) AS BIGINT) AS n_resolved,
+       CAST(sum(CASE WHEN r.entity = m.true_entity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM _r7_er_m m LEFT JOIN res r ON r.mention_id = m.mention_id
+GROUP BY m.true_entity
+ORDER BY m.true_entity
+""")
+
+
 def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the two approximate ANN tiers against the exact
     brute-force top-10, as an ORACLED metric (measure, don't guess —
@@ -8156,6 +8204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["bigram_lm_surprisal"] = _q_bigram_lm_surprisal
     all_q["decontaminate_ngram_overlap"] = _q_decontaminate_ngram_overlap
     all_q["boilerplate_chunks"] = _q_boilerplate_chunks
+    all_q["entity_resolution"] = _q_entity_resolution
     all_q["entry_link_rels"] = _q_entry_link_rels
     all_q["entry_tags"] = _q_entry_tags
     all_q["entry_enclosures"] = _q_entry_enclosures

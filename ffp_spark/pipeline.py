@@ -605,15 +605,24 @@ def _commit_snapshot(
     bucket = F.pmod(F.xxhash64("node_id"), F.lit(n_buckets)).cast("int")
 
     # page count from the (cached) parsed lineage aggregate — not a
-    # separate todo.count() job over the raw pages source
-    t0 = time.perf_counter()
-    n_pages_run = lineage_new.agg(F.sum("n_pages").alias("p")).collect()[0].p or 0
-    stats = {
-        "n_pages": int(n_pages_run),
-        "errors": {r.error_class: r["count"] for r in error_histogram(parsed).collect()},
-    }
-    if stage_timings is not None:
-        stage_timings["agg_sec"] = round(time.perf_counter() - t0, 3)
+    # separate todo.count() job over the raw pages source.  The two
+    # stats jobs are independent of the data-table commits, so they run
+    # CONCURRENTLY with them in the commit pool below (guide §2.6) —
+    # only the lineage write (which embeds the stats) must wait.
+    def _collect_stats() -> dict[str, Any]:
+        t0 = time.perf_counter()
+        n_pages_run = (
+            lineage_new.agg(F.sum("n_pages").alias("p")).collect()[0].p or 0
+        )
+        out = {
+            "n_pages": int(n_pages_run),
+            "errors": {
+                r.error_class: r["count"] for r in error_histogram(parsed).collect()
+            },
+        }
+        if stage_timings is not None:
+            stage_timings["agg_sec"] = round(time.perf_counter() - t0, 3)
+        return out
 
     # incremental merge: the parent snapshot's committed graph is carried
     # forward; this run only parsed the delta
@@ -678,7 +687,8 @@ def _commit_snapshot(
         seen = seen.unionByName(prior_seen.select("url", "part_id")).dropDuplicates(["url"])
     from .snapshots import write_snapshot_bucketed
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_stats = pool.submit(_collect_stats)
         f_triples = pool.submit(
             write_snapshot, triples, out_root, "triples", snapshot_id,
             partition_by=["part_id"],
@@ -700,6 +710,7 @@ def _commit_snapshot(
         m_nodes = f_nodes.result()
         m_edges = f_edges.result()
         f_seen.result()
+        stats = f_stats.result()
     # lineage rows carry the run's wall-clock bracket (SURVEY §1.2
     # schema): started_ts = run_snapshot entry, finished_ts = after the
     # data-table commits, i.e. when this snapshot's work was durable.
